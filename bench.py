@@ -1,0 +1,292 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json north star): cartpole iLQR solves/s/chip at H=100,
+8192 scenarios, 10 iLQR iterations per solve; ``vs_baseline`` is the ratio
+to the 10,000 solves/s/chip target.
+
+Secondary metrics (reference README.md:135-155 parity: million-add GB/s vs
+the Ryzen's ~18 GB/s effective, pow throughput) go to stderr and
+bench_details.json.
+
+Timing methodology: the TPU tunnel in this environment caches identical
+executions and its ``block_until_ready`` can return before remote compute
+finishes, so every repeat uses FRESH random inputs (different PRNG key) and
+timing brackets a device-to-host materialization of the result
+(``np.asarray``), which cannot complete early.
+
+Run: ``python bench.py`` (full, TPU) / ``python bench.py --quick`` (small
+shapes, any backend).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _scalar_sync(x):
+    """Force completion with a 4-byte D2H (the relayed tunnel moves large
+    buffers at ~50 KB/s, so never materialize full outputs while timing)."""
+    total = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(x))
+    return float(total)
+
+
+def _timeit(fn, make_args, warmup: int = 1, repeats: int = 4):
+    """Median wall time of fn(*make_args(key)) with fresh inputs per repeat.
+
+    The output is reduced to a scalar ON DEVICE inside the jitted program,
+    so the timed sync transfers 4 bytes but still waits for all compute."""
+
+    @jax.jit
+    def reduced(*args):
+        out = fn(*args)
+        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
+
+    for w in range(warmup):
+        float(reduced(*make_args(10_000 + w)))
+    times = []
+    for i in range(repeats):
+        args = make_args(i)
+        _scalar_sync(args)  # stage inputs before the clock starts
+        t0 = time.perf_counter()
+        float(reduced(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+# Dispatch round-trips through the TPU tunnel cost ~30ms; amortize
+# microbenches by looping the op on-device with a data dependency.
+_EW_ITERS = 64
+
+
+def bench_million_add(n=1_000_000):
+    """Reference million_check (benchmark/add.cpp:21-29): 1M-float add.
+    Effective traffic = 2 reads + 1 write per iteration; _EW_ITERS chained
+    adds amortize the dispatch latency."""
+
+    def run(a, b):
+        return jax.lax.fori_loop(0, _EW_ITERS, lambda i, acc: acc + b, a)
+
+    fn = jax.jit(run)
+
+    def make_args(i):
+        k = jax.random.PRNGKey(i)
+        ka, kb = jax.random.split(k)
+        return (
+            jax.random.normal(ka, (n,), jnp.float32),
+            jax.random.normal(kb, (n,), jnp.float32),
+        )
+
+    t = _timeit(fn, make_args) / _EW_ITERS
+    gbps = 3 * n * 4 / t / 1e9
+    return {"time_s": t, "GBps": gbps, "vs_ref_18GBps": gbps / 18.0}
+
+
+def bench_elementwise_pallas(n=16 * 1024 * 1024):
+    """Pallas elementwise kernel GB/s vs HBM roofline."""
+    from simplemath_tpu.ops import elementwise
+
+    shape = (n // 1024, 1024)
+
+    def run(a, b):
+        def body(i, acc):
+            return elementwise.pallas_elementwise(
+                lambda x, y: x + y, shape, jnp.float32, acc, b, name="bench_add"
+            )
+
+        return jax.lax.fori_loop(0, _EW_ITERS, body, a)
+
+    fn = jax.jit(run)
+
+    def make_args(i):
+        k = jax.random.PRNGKey(i)
+        ka, kb = jax.random.split(k)
+        return (
+            jax.random.normal(ka, shape, jnp.float32),
+            jax.random.normal(kb, shape, jnp.float32),
+        )
+
+    t = _timeit(fn, make_args) / _EW_ITERS
+    gbps = 3 * n * 4 / t / 1e9
+    from simplemath_tpu.utils.profiling import hbm_bandwidth_bytes_per_s
+
+    return {
+        "time_s": t,
+        "GBps": gbps,
+        "roofline_fraction": gbps * 1e9 / hbm_bandwidth_bytes_per_s(),
+    }
+
+
+def bench_pow(n=1000):
+    """Reference BM_SMArrayPow_Large (benchmark/pow.cpp:33-49): NxN float
+    pow^2 through our transcendental kernel.  Looped on-device with a
+    varying base (acc-coupled) to defeat caching; per-iteration time also
+    includes one accumulate add."""
+    from simplemath_tpu.ops import transcendental
+
+    iters = 32
+
+    def run(a):
+        def body(i, acc):
+            return acc * np.float32(1e-3) + transcendental.pow(
+                a + acc * np.float32(1e-6), jnp.float32(2.0)
+            )
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(a))
+
+    fn = jax.jit(run)
+
+    def make_args(i):
+        return (
+            jax.random.uniform(
+                jax.random.PRNGKey(i), (n, n), jnp.float32, 0.5, 100.0
+            ),
+        )
+
+    t = _timeit(fn, make_args) / iters
+    # Reference: 1000x1000 in 934,838 ns wall (README.md:154).
+    return {"time_s": t, "vs_ref_1000": (934838e-9 / t) if n == 1000 else None}
+
+
+def _ilqr_bench(system, batch, horizon, iters):
+    from simplemath_tpu.models import ILQRConfig
+    from simplemath_tpu.models.ilqr import solve_batched
+
+    cfg = ILQRConfig(iterations=iters)
+    us = jnp.zeros((batch, horizon, system.nu), jnp.float32)
+    fn = jax.jit(lambda x, u: solve_batched(system, x, u, cfg).cost)
+
+    def make_args(i):
+        x0s = 0.2 * jax.random.normal(
+            jax.random.PRNGKey(i), (batch, system.nx), dtype=jnp.float32
+        )
+        return (x0s, us)
+
+    t = _timeit(fn, make_args, warmup=1, repeats=3)
+    return t
+
+
+def bench_cartpole(batch=8192, horizon=100, iters=10, quick=False):
+    from simplemath_tpu.models import make_cartpole
+
+    if quick:
+        batch, horizon, iters = 256, 50, 5
+    t = _ilqr_bench(make_cartpole(), batch, horizon, iters)
+    solves_per_s = batch / t
+    return {
+        "time_s": t,
+        "batch": batch,
+        "horizon": horizon,
+        "iterations": iters,
+        "solves_per_s": solves_per_s,
+        "vs_target_10k": solves_per_s / 10_000.0,
+    }
+
+
+def bench_pendulum(batch=4096, horizon=50, iters=10, quick=False):
+    from simplemath_tpu.models import make_pendulum
+
+    if quick:
+        batch, horizon, iters = 128, 25, 3
+    t = _ilqr_bench(make_pendulum(), batch, horizon, iters)
+    return {"time_s": t, "batch": batch, "solves_per_s": batch / t}
+
+
+def bench_quadrotor_replan(horizon=50, iters=2, loop_steps=100):
+    """MPC replan latency (1 kHz budget = 1 ms per replan).
+
+    Runs a closed control loop ON DEVICE: `loop_steps` sequential
+    (replan -> apply first control -> step dynamics) cycles inside one
+    jitted lax.scan, so the per-replan time excludes host/tunnel dispatch
+    (which a deployed TPU-resident controller also avoids)."""
+    from simplemath_tpu.models import make_quadrotor
+    from simplemath_tpu.models import ilqr as _ilqr
+
+    system = make_quadrotor()
+    cfg = _ilqr.ILQRConfig(iterations=iters, alphas=(1.0, 0.5, 0.1))
+
+    def run(x0, us_warm):
+        def body(carry, _):
+            x, us = carry
+            res = _ilqr.solve(system, x, us, cfg)
+            u0 = res.us[0]
+            us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
+            x_next = system.step(x, u0)
+            return (x_next, us_next), res.cost
+
+        (xf, _), costs = jax.lax.scan(
+            body, (x0, us_warm), None, length=loop_steps
+        )
+        return costs
+
+    fn = jax.jit(run)
+
+    def make_args(i):
+        x0 = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(i), (system.nx,), dtype=jnp.float32
+        )
+        return (x0, jnp.zeros((horizon, system.nu), jnp.float32))
+
+    t = _timeit(fn, make_args, warmup=1, repeats=3) / loop_steps
+    return {"replan_s": t, "replan_hz": 1.0 / t, "meets_1khz": t < 1e-3}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--skip-elementwise", action="store_true")
+    args = parser.parse_args()
+
+    details = {"backend": jax.default_backend(), "devices": len(jax.devices())}
+    err = sys.stderr
+
+    if not args.skip_elementwise:
+        for name, fn in [
+            (
+                "million_add",
+                lambda: bench_million_add(100_000 if args.quick else 1_000_000),
+            ),
+            (
+                "pallas_elementwise",
+                lambda: bench_elementwise_pallas(
+                    1 << 20 if args.quick else 16 * 1024 * 1024
+                ),
+            ),
+            ("pow_1000", lambda: bench_pow(100 if args.quick else 1000)),
+            ("pendulum", lambda: bench_pendulum(quick=args.quick)),
+            ("quadrotor_replan", lambda: bench_quadrotor_replan()),
+        ]:
+            try:
+                details[name] = fn()
+                print(f"{name}: {details[name]}", file=err)
+            except Exception as e:  # pragma: no cover
+                print(f"{name} failed: {e}", file=err)
+
+    cart = bench_cartpole(quick=args.quick)
+    details["cartpole"] = cart
+    print(f"cartpole: {cart}", file=err)
+
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cartpole_ilqr_solves_per_s_per_chip",
+                "value": round(cart["solves_per_s"], 2),
+                "unit": "solves/s",
+                "vs_baseline": round(cart["vs_target_10k"], 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

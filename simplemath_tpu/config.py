@@ -1,0 +1,81 @@
+"""Runtime configuration for simplemath_tpu.
+
+The reference library's knobs are all compile-time (CMake option
+``SM_ENABLE_NATIVE_OPTIMIZATION`` at CMakeLists.txt:3, ISA ``#ifdef``s at
+include/math/helpers.h:14-20, ``CHUNK_SIZE`` at include/macros.h:16, and the
+hard-coded OpenMP threshold ``100'000`` at include/math/calculate.h:47).  The
+TPU-native equivalent is a runtime dataclass configurable via environment
+variables: kernel backend selection replaces ISA selection, the Pallas
+dispatch threshold replaces the OpenMP threshold, and tile sizes replace
+CHUNK_SIZE.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+@dataclasses.dataclass
+class Config:
+    # Kernel backend: "auto" picks Pallas on TPU for large contiguous ops and
+    # XLA elsewhere; "xla" forces jnp/XLA fusion; "pallas" forces Pallas
+    # kernels (interpret-mode on CPU).  Analog of the reference's compile-time
+    # ISA dispatch (include/math/helpers.h:14-20) done at runtime instead.
+    kernel_backend: str = dataclasses.field(
+        default_factory=lambda: _env_str("SM_KERNEL_BACKEND", "auto")
+    )
+
+    # Minimum number of elements before the Pallas elementwise kernel is
+    # preferred under "auto".  Analog of the OpenMP `if(n>100'000)` gate
+    # (include/math/calculate.h:47).
+    pallas_min_elements: int = dataclasses.field(
+        default_factory=lambda: _env_int("SM_PALLAS_MIN_ELEMENTS", 1 << 20)
+    )
+
+    # Elementwise kernel tile (sublane x lane multiples).  Analog of
+    # CHUNK_SIZE=1024 (include/macros.h:16); on TPU the natural unit is the
+    # (8, 128) VPU tile and multiples thereof.
+    ew_block_rows: int = dataclasses.field(
+        default_factory=lambda: _env_int("SM_EW_BLOCK_ROWS", 512)
+    )
+    ew_block_cols: int = dataclasses.field(
+        default_factory=lambda: _env_int("SM_EW_BLOCK_COLS", 1024)
+    )
+
+    # Force Pallas interpret mode (used on CPU test meshes).  None = auto
+    # (interpret when the default backend is not TPU).
+    pallas_interpret: Optional[bool] = None
+
+    # Default mesh axis names for the distributed layer.
+    data_axis: str = "scenario"
+    model_axis: str = "model"
+
+    def interpret_mode(self) -> bool:
+        if self.pallas_interpret is not None:
+            return self.pallas_interpret
+        import jax
+
+        return jax.default_backend() != "tpu"
+
+
+config = Config()
+
+
+def update(**kwargs) -> Config:
+    """Update global config fields; returns the config for chaining."""
+    for k, v in kwargs.items():
+        if not hasattr(config, k):
+            raise AttributeError(f"unknown config field {k!r}")
+        setattr(config, k, v)
+    return config

@@ -1,0 +1,19 @@
+"""Model / solver layer: benchmark dynamical systems and the batched
+iLQR/DDP + SQP-MPC trajectory optimizers (BASELINE.json north star)."""
+
+from .dynamics import (  # noqa: F401
+    SYSTEMS,
+    System,
+    make_cartpole,
+    make_pendulum,
+    make_quadrotor,
+    rk4,
+)
+from .ilqr import (  # noqa: F401
+    ILQRConfig,
+    ILQRResult,
+    rollout,
+    solve,
+    solve_batched,
+    trajectory_cost,
+)

@@ -1,0 +1,184 @@
+"""Benchmark dynamical systems for the trajectory-optimization layer.
+
+The reference has no model layer; these systems realize the BASELINE.json
+workloads (configs 3-5): pendulum swing-up (H=50, 4096 rollouts), cartpole
+iLQR/DDP (H=100, 8192 scenarios), and a 12-state quadrotor for SQP-MPC at a
+1 kHz replan budget.
+
+Each system is a pure-function triple (dynamics, stage cost, final cost)
+over jnp-compatible operands — they trace identically whether called with
+``jax.Array`` or ``simplemath_tpu.Array`` (the SMArray-API expressibility the
+north star asks for; see tests/test_models.py::test_dynamics_via_sm_api).
+Dynamics are continuous-time ``xdot = f(x, u)`` discretized with RK4, static
+shapes throughout so everything vmaps and compiles onto the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+
+def rk4(f: Callable, x, u, dt: float):
+    """Classic RK4 step, fully unrolled (static) for XLA fusion."""
+    k1 = f(x, u)
+    k2 = f(x + 0.5 * dt * k1, u)
+    k3 = f(x + 0.5 * dt * k2, u)
+    k4 = f(x + dt * k3, u)
+    return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+@dataclasses.dataclass(frozen=True)
+class System:
+    """A control system: discrete dynamics + quadratic-ish costs."""
+
+    name: str
+    nx: int
+    nu: int
+    dt: float
+    step: Callable  # (x, u) -> x_next
+    stage_cost: Callable  # (x, u) -> scalar
+    final_cost: Callable  # (x) -> scalar
+    # True when the costs are coordinate-separable (diagonal Hessians, no
+    # x-u cross terms): iLQR's PSD projection then reduces to exact diagonal
+    # clamping instead of a batched eigh — ~10x faster backward-pass prep on
+    # TPU (ILQRConfig.psd="auto").
+    separable_cost: bool = False
+
+
+# ---------------------------------------------------------------- pendulum
+def make_pendulum(dt: float = 0.05) -> System:
+    """Torque-limited pendulum swing-up: x = [theta, thetadot], target
+    upright (theta = pi)."""
+    g, m, l, b = 9.81, 1.0, 1.0, 0.1
+
+    def f(x, u):
+        th, thd = x[0], x[1]
+        thdd = (u[0] - b * thd - m * g * l * jnp.sin(th)) / (m * l * l)
+        return jnp.stack([thd, thdd])
+
+    def step(x, u):
+        return rk4(f, x, u, dt)
+
+    def stage_cost(x, u):
+        th_err = x[0] - jnp.pi
+        return 0.5 * (th_err**2 + 0.1 * x[1] ** 2 + 0.01 * u[0] ** 2)
+
+    def final_cost(x):
+        th_err = x[0] - jnp.pi
+        return 0.5 * (100.0 * th_err**2 + 10.0 * x[1] ** 2)
+
+    return System("pendulum", 2, 1, dt, step, stage_cost, final_cost,
+                  separable_cost=True)
+
+
+# ---------------------------------------------------------------- cartpole
+def make_cartpole(dt: float = 0.02) -> System:
+    """Cartpole swing-up: x = [p, pdot, theta, thetadot], theta = 0 is
+    hanging, target theta = pi (up)."""
+    mc, mp, l, g = 1.0, 0.3, 0.5, 9.81
+
+    def f(x, u):
+        _, pd, th, thd = x[0], x[1], x[2], x[3]
+        s, c = jnp.sin(th), jnp.cos(th)
+        force = u[0]
+        denom = mc + mp * s * s
+        pdd = (force + mp * s * (l * thd * thd + g * c)) / denom
+        thdd = (-force * c - mp * l * thd * thd * c * s - (mc + mp) * g * s) / (
+            l * denom
+        )
+        return jnp.stack([pd, pdd, thd, thdd])
+
+    def step(x, u):
+        return rk4(f, x, u, dt)
+
+    def stage_cost(x, u):
+        # Upright target via cos(theta) = -1 (smooth, no angle wrapping).
+        up_err = 1.0 + jnp.cos(x[2])
+        return 0.5 * (
+            0.1 * x[0] ** 2 + 10.0 * up_err**2 + 0.1 * x[3] ** 2 + 0.01 * u[0] ** 2
+        )
+
+    def final_cost(x):
+        up_err = 1.0 + jnp.cos(x[2])
+        return 0.5 * (
+            10.0 * x[0] ** 2
+            + 500.0 * up_err**2
+            + 10.0 * x[1] ** 2
+            + 50.0 * x[3] ** 2
+        )
+
+    return System("cartpole", 4, 1, dt, step, stage_cost, final_cost,
+                  separable_cost=True)
+
+
+# --------------------------------------------------------------- quadrotor
+def make_quadrotor(dt: float = 0.02) -> System:
+    """12-state quadrotor (BASELINE.json config 5): position (3), velocity
+    (3), Euler attitude (3), body rates (3); controls = total thrust +
+    body-rate torques (4).  Euler-angle model with small-angle-safe
+    trigonometry; costs regulate to hover at the origin."""
+    import numpy as np
+
+    mass, g = 1.0, 9.81
+    J_np = np.array([0.01, 0.01, 0.02])  # diagonal inertia
+
+    def f(x, u):
+        # Constants follow the state dtype so f32 pipelines stay f32 even
+        # under jax_enable_x64.
+        J = jnp.asarray(J_np, x.dtype)
+        vel = x[3:6]
+        phi, theta, psi = x[6], x[7], x[8]
+        omega = x[9:12]
+        thrust = u[0] + mass * g  # u[0] is delta-thrust around hover
+        torque = u[1:4]
+
+        cph, sph = jnp.cos(phi), jnp.sin(phi)
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        cps, sps = jnp.cos(psi), jnp.sin(psi)
+        # Body-z axis in world frame (ZYX Euler).
+        zb = jnp.stack(
+            [cph * sth * cps + sph * sps, cph * sth * sps - sph * cps, cph * cth]
+        )
+        acc = (thrust / mass) * zb - jnp.asarray([0.0, 0.0, g], x.dtype)
+
+        # Euler kinematics (ZYX): eulerdot = E(phi, theta) @ omega.
+        tth = sth / cth
+        eulerdot = jnp.stack(
+            [
+                omega[0] + tth * (sph * omega[1] + cph * omega[2]),
+                cph * omega[1] - sph * omega[2],
+                (sph * omega[1] + cph * omega[2]) / cth,
+            ]
+        )
+        omegadot = (torque - jnp.cross(omega, J * omega)) / J
+        return jnp.concatenate([vel, acc, eulerdot, omegadot])
+
+    def step(x, u):
+        return rk4(f, x, u, dt)
+
+    Qdiag_np = np.array(
+        [10.0, 10.0, 10.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 0.1, 0.1, 0.1]
+    )
+    Rdiag_np = np.array([0.1, 0.5, 0.5, 0.5])
+
+    def stage_cost(x, u):
+        Qd = jnp.asarray(Qdiag_np, x.dtype)
+        Rd = jnp.asarray(Rdiag_np, u.dtype)
+        return 0.5 * (jnp.sum(Qd * x * x) + jnp.sum(Rd * u * u))
+
+    def final_cost(x):
+        Qd = jnp.asarray(Qdiag_np, x.dtype)
+        return 0.5 * 10.0 * jnp.sum(Qd * x * x)
+
+    return System("quadrotor", 12, 4, dt, step, stage_cost, final_cost,
+                  separable_cost=True)
+
+
+SYSTEMS = {
+    "pendulum": make_pendulum,
+    "cartpole": make_cartpole,
+    "quadrotor": make_quadrotor,
+}

@@ -1,0 +1,381 @@
+"""Batched iLQR/DDP trajectory optimizer — the BASELINE.json north star.
+
+Built TPU-first on the array core:
+
+* rollouts and linearization are ``lax.scan``/``vmap`` over static shapes;
+* the Riccati backward pass comes in two interchangeable forms:
+  - ``backward="sequential"``: classic reverse ``lax.scan`` (O(H) depth);
+  - ``backward="associative"``: ``jax.lax.associative_scan`` over
+    affine-quadratic value-function elements (O(log H) depth) — the
+    "long-axis" parallelization SURVEY §5 maps the reference's missing
+    sequence parallelism onto (parallel LQT composition, cf. Särkkä &
+    García-Fernández temporal parallelization);
+* the forward line search evaluates ALL step sizes in parallel with ``vmap``
+  and picks the best improvement — batched work instead of host control
+  flow;
+* thousands of scenarios run per chip via an outer ``vmap``; the scenario
+  axis shards over the device mesh in simplemath_tpu.parallel.
+
+Everything is jittable with zero data-dependent python control flow; the
+iteration count is static so a solve compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .dynamics import System
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    iterations: int = 10
+    # Parallel line search step sizes (all evaluated at once, vmapped).
+    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    reg_init: float = 1e-6
+    reg_scale_up: float = 10.0
+    reg_scale_down: float = 0.5
+    reg_max: float = 1e8
+    backward: str = "sequential"  # or "associative"
+    # PSD-ization of per-step cost Hessians (nonconvex costs make lxx
+    # indefinite, which NaNs the Riccati Cholesky):
+    #   "auto"       — "clamp_diag" for separable-cost systems, else "eigh";
+    #   "clamp_diag" — clamp diagonal entries at eps (EXACT projection when
+    #                  Hessians are diagonal, i.e. separable costs; ~10x
+    #                  faster than eigh on TPU);
+    #   "eigh"       — exact projection onto the PSD cone (batched eigh);
+    #   "gershgorin" — Gershgorin lower-bound shift (cheap, conservative —
+    #                  can over-damp);
+    #   "none"       — disabled (convex costs only).
+    psd: str = "auto"
+    psd_eps: float = 1e-6
+
+
+class ILQRResult(NamedTuple):
+    xs: jax.Array  # (H+1, nx)
+    us: jax.Array  # (H, nu)
+    cost: jax.Array  # scalar final cost
+    cost_trace: jax.Array  # (iterations,)
+    grad_norm: jax.Array  # scalar, |k| of last backward pass
+
+
+def rollout(step: Callable, x0, us):
+    """Open-loop rollout: xs[0]=x0, xs[t+1]=step(xs[t], us[t])."""
+
+    def body(x, u):
+        xn = step(x, u)
+        return xn, xn
+
+    _, xs_tail = jax.lax.scan(body, x0, us)
+    return jnp.concatenate([x0[None], xs_tail], axis=0)
+
+
+def trajectory_cost(system: System, xs, us):
+    stage = jax.vmap(system.stage_cost)(xs[:-1], us)
+    return jnp.sum(stage) + system.final_cost(xs[-1])
+
+
+def linearize(system: System, xs, us):
+    """Per-step Jacobians of dynamics and gradients/Hessians of cost,
+    vmapped over the horizon (all small dense matrices -> MXU batching)."""
+    A = jax.vmap(jax.jacfwd(system.step, argnums=0))(xs[:-1], us)
+    B = jax.vmap(jax.jacfwd(system.step, argnums=1))(xs[:-1], us)
+    lx = jax.vmap(jax.grad(system.stage_cost, argnums=0))(xs[:-1], us)
+    lu = jax.vmap(jax.grad(system.stage_cost, argnums=1))(xs[:-1], us)
+    lxx = jax.vmap(jax.hessian(system.stage_cost, argnums=0))(xs[:-1], us)
+    luu = jax.vmap(jax.hessian(system.stage_cost, argnums=1))(xs[:-1], us)
+    lux = jax.vmap(
+        jax.jacfwd(jax.grad(system.stage_cost, argnums=1), argnums=0)
+    )(xs[:-1], us)
+    Vx_T = jax.grad(system.final_cost)(xs[-1])
+    Vxx_T = jax.hessian(system.final_cost)(xs[-1])
+    return A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T
+
+
+def _gershgorin_shift(H, eps):
+    """Shift H by max(0, -Gershgorin lower bound) + eps so it is PD.
+
+    lambda_min >= min_i (H_ii - sum_{j!=i} |H_ij|); one reduction per
+    matrix, no factorization — vectorizes over (batch, H) on the VPU."""
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    offsum = jnp.sum(jnp.abs(H), axis=-1) - jnp.abs(diag)
+    lb = jnp.min(diag - offsum, axis=-1)
+    shift = jnp.maximum(0.0, -lb) + eps
+    eye = jnp.eye(H.shape[-1], dtype=H.dtype)
+    return H + shift[..., None, None] * eye
+
+
+def _eigh_project(H, eps):
+    """Exact projection onto the PSD cone (eigenvalue clamping)."""
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(w, eps)
+    return (V * w[..., None, :]) @ jnp.swapaxes(V, -1, -2)
+
+
+def _clamp_diag(H, eps):
+    """Clamp diagonal entries at eps — exact PSD projection for diagonal
+    Hessians (separable costs), an approximation otherwise."""
+    diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+    bump = jnp.maximum(eps - diag, 0.0)
+    eye = jnp.eye(H.shape[-1], dtype=H.dtype)
+    return H + bump[..., None] * eye
+
+
+def psd_cost_hessians(lxx, luu, lux, Vxx_T, mode: str, eps: float):
+    """PSD-ize the per-step joint cost Hessian [[lxx, lux^T], [lux, luu]]
+    and the terminal Hessian, preserving gradients (only curvature moves)."""
+    if mode == "none":
+        return lxx, luu, lux, Vxx_T
+    if mode == "clamp_diag":
+        return (
+            _clamp_diag(lxx, eps),
+            _clamp_diag(luu, eps),
+            lux,
+            _clamp_diag(Vxx_T, eps),
+        )
+    nx = lxx.shape[-1]
+    top = jnp.concatenate([lxx, jnp.swapaxes(lux, -1, -2)], axis=-1)
+    bot = jnp.concatenate([lux, luu], axis=-1)
+    blk = jnp.concatenate([top, bot], axis=-2)
+    if mode == "eigh":
+        blk = _eigh_project(blk, eps)
+        Vxx_T = _eigh_project(Vxx_T, eps)
+    else:
+        blk = _gershgorin_shift(blk, eps)
+        Vxx_T = _gershgorin_shift(Vxx_T, eps)
+    lxx = blk[..., :nx, :nx]
+    lux = blk[..., nx:, :nx]
+    luu = blk[..., nx:, nx:]
+    return lxx, luu, lux, Vxx_T
+
+
+def _solve_psd(M, rhs):
+    """Solve M X = rhs for symmetric positive-definite M via Cholesky."""
+    L = jnp.linalg.cholesky(M)
+    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def backward_sequential(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
+    """Classic Riccati/DDP backward pass as a reverse lax.scan."""
+    nu = B.shape[-1]
+    I_u = jnp.eye(nu, dtype=B.dtype)
+
+    def body(carry, inp):
+        Vx, Vxx = carry
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        Qx = lx_t + A_t.T @ Vx
+        Qu = lu_t + B_t.T @ Vx
+        Qxx = lxx_t + A_t.T @ Vxx @ A_t
+        Quu = luu_t + B_t.T @ Vxx @ B_t + reg * I_u
+        Qux = lux_t + B_t.T @ Vxx @ A_t
+        k_t = -_solve_psd(Quu, Qu)
+        K_t = -_solve_psd(Quu, Qux)
+        Vx_new = Qx + K_t.T @ Quu @ k_t + K_t.T @ Qu + Qux.T @ k_t
+        Vxx_new = Qxx + K_t.T @ Quu @ K_t + K_t.T @ Qux + Qux.T @ K_t
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+        return (Vx_new, Vxx_new), (k_t, K_t)
+
+    (_, _), (ks, Ks) = jax.lax.scan(
+        body, (Vx_T, Vxx_T), (A, B, lx, lu, lxx, luu, lux), reverse=True
+    )
+    return ks, Ks
+
+
+def backward_associative(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
+    """Riccati backward pass as an associative scan over value elements.
+
+    Each step k contributes a conditional-value element
+    ``(F, b, C, eta, J)`` encoding
+    ``V_k(x) = min_u [cost + V_{k+1}(f(x,u))]`` after eliminating ``u``
+    against its own stage quadratic; elements compose associatively
+    (temporal-parallelization-of-LQT formulation), so the whole horizon
+    reduces in O(log H) depth on the TPU instead of O(H).
+
+    Element semantics (suffix form): composing elements k..T yields
+    ``J_k = Vxx_k`` and ``eta_k = -Vx_k`` contributions such that the
+    feedback gains recovered per-step match the sequential pass.
+    """
+    nu = B.shape[-1]
+    nx = A.shape[-1]
+    I_u = jnp.eye(nu, dtype=B.dtype)
+    I_x = jnp.eye(nx, dtype=A.dtype)
+
+    # Per-step elimination of u against the stage quadratic (luu + reg):
+    #   u* = -luu^{-1}(lu + lux x + B^T lambda) style; in element form:
+    #   F = A - B luu^{-1} lux,  c = -B luu^{-1} lu,
+    #   C = B luu^{-1} B^T,
+    #   J = lxx - lux^T luu^{-1} lux,  eta = -(lx - lux^T luu^{-1} lu)
+    def make_elem(inp):
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        Ru = luu_t + reg * I_u
+        Ru_inv_lux = _solve_psd(Ru, lux_t)
+        Ru_inv_lu = _solve_psd(Ru, lu_t)
+        Ru_inv_Bt = _solve_psd(Ru, B_t.T)
+        F = A_t - B_t @ Ru_inv_lux
+        c = -B_t @ Ru_inv_lu
+        C = B_t @ Ru_inv_Bt
+        J = lxx_t - lux_t.T @ Ru_inv_lux
+        eta = -(lx_t - lux_t.T @ Ru_inv_lu)
+        return F, c, C, eta, J
+
+    elems = jax.vmap(make_elem)((A, B, lx, lu, lxx, luu, lux))
+
+    # Terminal element: pure quadratic terminal cost.
+    term = (
+        jnp.zeros((nx, nx), A.dtype),
+        jnp.zeros((nx,), A.dtype),
+        jnp.zeros((nx, nx), A.dtype),
+        -Vx_T,
+        Vxx_T,
+    )
+    full = jax.tree.map(
+        lambda e, t: jnp.concatenate([e, t[None]], axis=0), elems, term
+    )
+
+    def combine(elem_i, elem_j):
+        # elem_i is earlier in time; elem_j aggregates the later suffix.
+        # associative_scan applies this with a leading batch axis, so all
+        # products are batched matmuls and vectors use explicit [..., None].
+        Fi, ci, Ci, etai, Ji = elem_i
+        Fj, cj, Cj, etaj, Jj = elem_j
+
+        def mv(M, v):
+            return (M @ v[..., None])[..., 0]
+
+        def tr(M):
+            return jnp.swapaxes(M, -1, -2)
+
+        # M = (I + Ci Jj)^{-1}; N = (I + Jj Ci)^{-1}
+        M = jnp.linalg.solve(I_x + Ci @ Jj, jnp.broadcast_to(I_x, Ci.shape))
+        N = jnp.linalg.solve(I_x + Jj @ Ci, jnp.broadcast_to(I_x, Ci.shape))
+        F = Fj @ M @ Fi
+        c = mv(Fj @ M, ci + mv(Ci, etaj)) + cj
+        C = Fj @ M @ Ci @ tr(Fj) + Cj
+        eta = mv(tr(Fi) @ N, etaj - mv(Jj, ci)) + etai
+        J = tr(Fi) @ N @ Jj @ Fi + Ji
+        return F, c, C, eta, J
+
+    # Reverse the time axis so the scan accumulates suffixes k..T.  In the
+    # reversed order, scan-"left" operands are LATER in time, so flip the
+    # operator's arguments: prefix_rev[j] = elem_{T-j} ⊕ (later suffix).
+    rev = jax.tree.map(lambda x: jnp.flip(x, axis=0), full)
+    scanned = jax.lax.associative_scan(lambda a, b: combine(b, a), rev, axis=0)
+    suffix = jax.tree.map(lambda x: jnp.flip(x, axis=0), scanned)
+
+    # suffix[k+1] carries (eta, J) of the value function at step k+1; recover
+    # per-step gains exactly like the sequential pass.
+    Vx_all = -suffix[3]  # (H+1, nx)
+    Vxx_all = suffix[4]  # (H+1, nx, nx)
+
+    def gains(inp, Vx, Vxx):
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        Qu = lu_t + B_t.T @ Vx
+        Quu = luu_t + B_t.T @ Vxx @ B_t + reg * I_u
+        Qux = lux_t + B_t.T @ Vxx @ A_t
+        k_t = -_solve_psd(Quu, Qu)
+        K_t = -_solve_psd(Quu, Qux)
+        return k_t, K_t
+
+    ks, Ks = jax.vmap(gains)(
+        (A, B, lx, lu, lxx, luu, lux), Vx_all[1:], Vxx_all[1:]
+    )
+    return ks, Ks
+
+
+def forward_linesearch(system: System, xs, us, ks, Ks, alphas):
+    """Closed-loop rollouts at every alpha in parallel; returns best."""
+    alphas = jnp.asarray(alphas, dtype=us.dtype)
+
+    def rollout_alpha(alpha):
+        def body(x, inp):
+            x_ref, u_ref, k_t, K_t = inp
+            u = u_ref + alpha * k_t + K_t @ (x - x_ref)
+            xn = system.step(x, u)
+            return xn, (xn, u)
+
+        _, (xs_tail, us_new) = jax.lax.scan(body, xs[0], (xs[:-1], us, ks, Ks))
+        xs_new = jnp.concatenate([xs[0][None], xs_tail], axis=0)
+        return xs_new, us_new, trajectory_cost(system, xs_new, us_new)
+
+    xs_c, us_c, costs = jax.vmap(rollout_alpha)(alphas)
+    best = jnp.argmin(costs)
+    return (
+        jnp.take(xs_c, best, axis=0),
+        jnp.take(us_c, best, axis=0),
+        jnp.take(costs, best, axis=0),
+    )
+
+
+def solve(
+    system: System,
+    x0,
+    us_init,
+    config: ILQRConfig = ILQRConfig(),
+) -> ILQRResult:
+    """Single-scenario iLQR solve (jit/vmap-friendly; static iteration
+    count)."""
+    backward = (
+        backward_associative
+        if config.backward == "associative"
+        else backward_sequential
+    )
+
+    xs0 = rollout(system.step, x0, us_init)
+    cost0 = trajectory_cost(system, xs0, us_init)
+
+    def iteration(carry, _):
+        xs, us, cost, reg = carry
+        A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T = linearize(system, xs, us)
+        psd_mode = config.psd
+        if psd_mode == "auto":
+            psd_mode = "clamp_diag" if system.separable_cost else "eigh"
+        lxx, luu, lux, Vxx_T = psd_cost_hessians(
+            lxx, luu, lux, Vxx_T, psd_mode, config.psd_eps
+        )
+        ks, Ks = backward(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg)
+        xs_new, us_new, cost_new = forward_linesearch(
+            system, xs, us, ks, Ks, config.alphas
+        )
+        # NaN-robust accept: an indefinite Quu makes the Cholesky emit NaNs
+        # and the candidate rollout non-finite; reject it and retry with a
+        # larger regularizer next iteration (standard iLQR reg escalation).
+        improved = jnp.isfinite(cost_new) & (cost_new < cost)
+        xs = jnp.where(improved, xs_new, xs)
+        us = jnp.where(improved, us_new, us)
+        reg = jnp.where(
+            improved,
+            jnp.maximum(reg * config.reg_scale_down, config.reg_init),
+            jnp.minimum(reg * config.reg_scale_up, config.reg_max),
+        )
+        cost = jnp.where(improved, cost_new, cost)
+        grad_norm = jnp.nan_to_num(jnp.max(jnp.abs(ks)), nan=jnp.inf)
+        return (xs, us, cost, reg), (cost, grad_norm)
+
+    init = (xs0, us_init, cost0, jnp.asarray(config.reg_init, xs0.dtype))
+    (xs, us, cost, _), (cost_trace, grad_norms) = jax.lax.scan(
+        iteration, init, None, length=config.iterations
+    )
+    return ILQRResult(
+        xs=xs, us=us, cost=cost, cost_trace=cost_trace, grad_norm=grad_norms[-1]
+    )
+
+
+def solve_batched(
+    system: System, x0_batch, us_init_batch, config: ILQRConfig = ILQRConfig()
+) -> ILQRResult:
+    """vmap over the scenario axis — thousands of solves per chip
+    (BASELINE.json configs 3-4)."""
+    return jax.vmap(lambda x0, us: solve(system, x0, us, config))(
+        x0_batch, us_init_batch
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def solve_batched_jit(system, x0_batch, us_init_batch, config=ILQRConfig()):
+    return solve_batched(system, x0_batch, us_init_batch, config)

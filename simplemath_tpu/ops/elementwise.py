@@ -1,0 +1,157 @@
+"""Generic broadcast-aware Pallas elementwise kernel.
+
+TPU-native re-design of the reference's kernel dispatch engine
+(include/math/calculate.h): ``element_wise_op``'s contiguous SIMD fast path
+(calculate.h:101-134), its strided/broadcast path (calculate.h:16-99) and
+``array_scalar_op`` (calculate.h:137-169) all become ONE Pallas kernel:
+
+* the OpenMP chunk loop over CHUNK_SIZE blocks (calculate.h:47-48) becomes a
+  Pallas grid over VMEM tiles, with HBM->VMEM transfers double-buffered by
+  the Mosaic pipeline;
+* the stride-0 broadcasting trick (include/SMUtils.h:83-88) becomes a
+  BlockSpec index map that pins broadcast dimensions to block 0 with block
+  extent 1 — broadcast operands are never materialized at full size, exactly
+  like stride-0, and the in-tile broadcast happens in registers on the VPU;
+* the per-ISA ``apply_simd`` specializations become the op's ``tile_fn``
+  applied to whole VMEM tiles, lowered by Mosaic to 8x128 VPU ops;
+* scalars ride the same path as (1,)*nd all-broadcast operands, subsuming
+  ``array_scalar_op`` — and unlike the reference, broadcast/strided inputs
+  are fully vectorized (the reference's ``canVectorize`` is constant-false,
+  calculate.h:33-46; SURVEY §2.4-1).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import config
+from .. import dtypes as _dtypes
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_shape(shape: Sequence[int], nd: int) -> tuple:
+    shape = tuple(shape)
+    return (1,) * (nd - len(shape)) + shape
+
+
+def _choose_blocks(out_shape: Sequence[int], rows: int, cols: int):
+    """Block extents for the trailing two dims; leading dims get block 1."""
+    nd = len(out_shape)
+    blocks = [1] * nd
+    if nd >= 1:
+        blocks[-1] = min(cols, out_shape[-1])
+    if nd >= 2:
+        blocks[-2] = min(rows, out_shape[-2])
+    return tuple(blocks)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_call(
+    op_name: str,
+    tile_fn_id: int,
+    in_shapes: tuple,
+    in_dtypes: tuple,
+    out_shape: tuple,
+    out_dtype,
+    interpret: bool,
+    rows: int,
+    cols: int,
+):
+    # tile_fn resolved by the caller and closed over via _TILE_FNS to keep the
+    # cache key hashable.
+    tile_fn = _TILE_FNS[tile_fn_id]
+    nd = len(out_shape)
+    blocks = _choose_blocks(out_shape, rows, cols)
+    grid = tuple(_cdiv(out_shape[d], blocks[d]) for d in range(nd))
+
+    def in_spec(shape):
+        bshape = tuple(1 if shape[d] == 1 else blocks[d] for d in range(nd))
+
+        def imap(*gidx):
+            return tuple(0 if shape[d] == 1 else gidx[d] for d in range(nd))
+
+        return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        vals = [r[...] for r in refs[:-1]]
+        out_ref[...] = tile_fn(*vals).astype(out_ref.dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
+        grid=grid,
+        in_specs=[in_spec(s) for s in in_shapes],
+        out_specs=pl.BlockSpec(blocks, lambda *g: g, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return call
+
+
+_TILE_FNS: dict[int, Callable] = {}
+
+
+def _tile_fn_id(fn: Callable) -> int:
+    fid = id(fn)
+    _TILE_FNS[fid] = fn
+    return fid
+
+
+def pallas_elementwise(tile_fn: Callable, out_shape, out_dtype, *operands, name="op"):
+    """Run ``tile_fn`` over broadcast operands with the generic kernel.
+
+    ``operands`` are jax arrays (already materialized); their shapes must be
+    broadcast-compatible with ``out_shape``.
+    """
+    out_shape = tuple(int(s) for s in out_shape)
+    nd = max(1, len(out_shape))
+    if len(out_shape) == 0:
+        # 0-d: no tiling to do.
+        return tile_fn(*operands).astype(out_dtype)
+    if nd == 1:
+        # Promote to 2-D so tiles have (sublane, lane) structure.
+        ops2 = [jnp.reshape(o, (1,) + _pad_shape(jnp.shape(o), 1)) for o in operands]
+        out = pallas_elementwise(
+            tile_fn, (1,) + out_shape, out_dtype, *ops2, name=name
+        )
+        return jnp.reshape(out, out_shape)
+
+    padded = []
+    for o in operands:
+        ps = _pad_shape(jnp.shape(o), nd)
+        padded.append(jnp.reshape(o, ps))
+    in_shapes = tuple(tuple(int(x) for x in p.shape) for p in padded)
+    call = _build_call(
+        name,
+        _tile_fn_id(tile_fn),
+        in_shapes,
+        tuple(p.dtype for p in padded),
+        out_shape,
+        jnp.dtype(out_dtype),
+        config.interpret_mode(),
+        config.ew_block_rows,
+        config.ew_block_cols,
+    )
+    return call(*padded)
+
+
+def supported(out_shape, dtypes_in, out_dtype) -> bool:
+    """Whether the Pallas path can run these operands natively."""
+    if len(out_shape) == 0:
+        return False
+    if math.prod(out_shape) == 0:
+        return False
+    for dt in list(dtypes_in) + [out_dtype]:
+        if jnp.dtype(dt) not in _dtypes.PALLAS_NATIVE_DTYPES:
+            return False
+    return True

@@ -1,0 +1,141 @@
+"""Dispatch engine: broadcast + backend selection + kernel launch.
+
+TPU-native analog of the reference's call path for ``c = a + b``
+(SURVEY §3.2): ``operator+`` -> ``sm::broadcast`` -> ``element_wise_op``
+(include/SMArray.h:217-225, include/SMUtils.h:34-99,
+include/math/calculate.h:5-99).  Here: operator -> ``engine.binary`` ->
+``broadcast_shapes`` (shape check with NumPy error semantics) -> backend
+pick (Pallas kernel on TPU for large ops / XLA fusion otherwise; the runtime
+analog of the reference's compile-time ISA dispatch).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..array import Array, as_jax
+from ..broadcast import broadcast_shapes
+from ..config import config
+from . import elementwise, registry
+
+
+def _is_arraylike(x) -> bool:
+    return isinstance(x, (Array, jax.Array, jax.core.Tracer)) or hasattr(x, "shape")
+
+
+def _use_pallas(op, out_shape, in_dtypes, out_dtype) -> bool:
+    backend = config.kernel_backend
+    if backend == "xla" or not op.pallas_ok:
+        return False
+    if not elementwise.supported(out_shape, in_dtypes, out_dtype):
+        return False
+    if backend == "pallas":
+        return True
+    # auto: Pallas only on TPU for big ops (XLA fusion wins for small/fused).
+    if jax.default_backend() != "tpu":
+        return False
+    return math.prod(out_shape) >= config.pallas_min_elements
+
+
+def binary(name: str, a: Any, b: Any) -> Array:
+    op = registry.get_op(name)
+    av, bv = as_jax(a), as_jax(b)
+    a_shape = jnp.shape(av)
+    b_shape = jnp.shape(bv)
+    br = broadcast_shapes(a_shape, b_shape)  # raises ValueError on mismatch
+    out = None
+    if _is_arraylike(av) and _is_arraylike(bv):
+        out_dtype = jnp.result_type(av, bv)
+        if _use_pallas(op, br.result_shape, (jnp.asarray(av).dtype, jnp.asarray(bv).dtype), out_dtype):
+            out = elementwise.pallas_elementwise(
+                op.tile(),
+                br.result_shape,
+                out_dtype,
+                jnp.asarray(av),
+                jnp.asarray(bv),
+                name=name,
+            )
+    if out is None:
+        out = op.fn(av, bv)
+    return Array(out)
+
+
+def unary(name: str, a: Any) -> Array:
+    op = registry.get_op(name)
+    av = as_jax(a)
+    out_dtype = jnp.result_type(av)
+    shape = jnp.shape(av)
+    if _use_pallas(op, shape, (jnp.asarray(av).dtype,), out_dtype):
+        out = elementwise.pallas_elementwise(
+            op.tile(), shape, out_dtype, jnp.asarray(av), name=name
+        )
+    else:
+        out = op.fn(av)
+    return Array(out)
+
+
+def apply_op(name: str, *operands) -> Array:
+    """Public entry for registered (incl. user) ops — the reference's custom
+    operator hook (README.md:119-133)."""
+    op = registry.get_op(name)
+    if op.arity == 1:
+        return unary(name, *operands)
+    return binary(name, *operands)
+
+
+# ----------------------------------------------------------------- pow
+def _int_pow(base, exponent):
+    """Integer pow with the reference's documented edge semantics
+    (include/math/simd/crafted_pow.h:35-51, tests/pow.cpp:62-99):
+    nonnegative exponents are exact square-and-multiply results; negative
+    exponents truncate to 0 except bases +1/-1 (and 1^x == 1, (-1)^e = ±1 by
+    parity)."""
+    base = jnp.asarray(base)
+    exponent = jnp.asarray(exponent)
+    e = jnp.abs(exponent)
+    pos = jnp.power(base, e)
+    parity = jnp.where(e % 2 == 0, 1, -1).astype(base.dtype)
+    neg = jnp.where(
+        base == 1,
+        jnp.ones_like(base),
+        jnp.where(base == -1, parity, jnp.zeros_like(base)),
+    )
+    return jnp.where(exponent < 0, neg, pos)
+
+
+def pow(a: Any, b: Any) -> Array:
+    """Elementwise power — reference ``sm::pow`` (include/UserFunctions.h:42-48,
+    include/math/pow.h).  Unlike the reference (flat-buffer iteration,
+    SURVEY §2.4-3), views are honored; float pow uses the transcendental
+    kernel path with correct range reduction (the reference's admitted
+    failure, README.md:8-10)."""
+    av, bv = as_jax(a), as_jax(b)
+    broadcast_shapes(jnp.shape(av), jnp.shape(bv))
+    a_dt = jnp.result_type(av)
+    b_dt = jnp.result_type(bv)
+    if jnp.issubdtype(a_dt, jnp.integer) and jnp.issubdtype(b_dt, jnp.integer):
+        return Array(_int_pow(av, bv))
+    from . import transcendental
+
+    return Array(transcendental.pow(av, bv))
+
+
+# ----------------------------------------------------------------- dot
+def dot(a: Any, b: Any):
+    """Dot product on the MXU — reference ``operator%`` / ``dot_product``
+    (include/SMArray.h:213-215, include/math/product.h:8-224).
+
+    Follows ``numpy.dot`` semantics (1-D·1-D inner product, 2-D matmul,
+    N-D contraction of last axis with second-to-last), honoring views —
+    fixing the reference's flat-buffer/totalSize-of-rhs behavior
+    (SURVEY §2.4-3)."""
+    av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))
+    preferred = None
+    if jnp.issubdtype(jnp.result_type(av, bv), jnp.floating):
+        preferred = jnp.promote_types(jnp.result_type(av, bv), jnp.float32)
+    out = jnp.dot(av, bv, preferred_element_type=preferred)
+    return Array(out)

@@ -1,0 +1,16 @@
+"""Distributed layer: mesh construction, collectives, sharded solvers —
+the communication backend the reference lacks (SURVEY §2.3, §5)."""
+
+from .mesh import device_info, make_mesh, replicated, scenario_sharding  # noqa: F401
+from .collectives import (  # noqa: F401
+    all_gather,
+    axis_index,
+    pmax,
+    pmean,
+    pmin,
+    ppermute_ring,
+    psum,
+    reduce_scatter,
+    shard_map,
+)
+from .sharded import make_sharded_train_step, solve_batched_sharded  # noqa: F401

@@ -1,0 +1,6 @@
+"""Auxiliary subsystems: profiling/tracing, metrics, checkpointing —
+the SURVEY §5 gaps the reference leaves open."""
+
+from .profiling import BenchResult, annotate, benchmark, trace  # noqa: F401
+from .metrics import MetricsLogger  # noqa: F401
+from . import checkpoint  # noqa: F401

@@ -1,0 +1,91 @@
+"""SQP-MPC layer: constrained solves, receding-horizon replanning, and the
+scenario-consensus distributed KKT reduction."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplemath_tpu import parallel
+from simplemath_tpu.models import make_pendulum, make_quadrotor
+from simplemath_tpu.models.ilqr import ILQRConfig, rollout, trajectory_cost
+from simplemath_tpu.models.sqp_mpc import (
+    MPCController,
+    SQPConfig,
+    scenario_mpc_step,
+    solve_constrained,
+)
+
+
+def test_constrained_solve_respects_bounds():
+    system = make_pendulum()
+    x0 = jnp.zeros(2, jnp.float32)
+    us = jnp.zeros((50, 1), jnp.float32)
+    res = solve_constrained(
+        system, x0, us, u_min=-2.0, u_max=2.0, config=SQPConfig()
+    )
+    assert float(res.max_violation) <= 1e-5
+    assert float(jnp.max(jnp.abs(res.us))) <= 2.0 + 1e-5
+    # Still improves on doing nothing.
+    init_cost = trajectory_cost(system, rollout(system.step, x0, us), us)
+    assert float(res.cost) < float(init_cost)
+
+
+def test_constrained_tighter_bounds_cost_more():
+    system = make_pendulum()
+    x0 = jnp.zeros(2, jnp.float32)
+    us = jnp.zeros((50, 1), jnp.float32)
+    loose = solve_constrained(system, x0, us, -10.0, 10.0)
+    tight = solve_constrained(system, x0, us, -1.0, 1.0)
+    assert float(tight.cost) >= float(loose.cost) - 1e-3
+
+
+def test_mpc_controller_stabilizes_pendulum():
+    system = make_pendulum()
+    ctrl = MPCController(system, horizon=30, replan_iters=3)
+    x = jnp.asarray([np.pi - 0.4, 0.0], jnp.float32)  # near upright
+    for _ in range(60):
+        u0, cost = ctrl.replan(x)
+        x = system.step(x, u0)
+    # Should hold near upright.
+    assert abs(float(x[0]) - np.pi) < 0.2
+    assert abs(float(x[1])) < 0.5
+
+
+def test_mpc_controller_respects_bounds():
+    system = make_pendulum()
+    ctrl = MPCController(system, horizon=20, u_min=-3.0, u_max=3.0)
+    x = jnp.asarray([0.5, 0.0], jnp.float32)
+    for _ in range(5):
+        u0, _ = ctrl.replan(x)
+        assert float(jnp.max(jnp.abs(u0))) <= 3.0 + 1e-6
+        x = system.step(x, u0)
+
+
+def test_quadrotor_constrained():
+    system = make_quadrotor()
+    x0 = jnp.zeros(12, jnp.float32).at[0].set(0.5)
+    us = jnp.zeros((30, 4), jnp.float32)
+    u_min = jnp.asarray([-5.0, -1.0, -1.0, -1.0], jnp.float32)
+    u_max = jnp.asarray([5.0, 1.0, 1.0, 1.0], jnp.float32)
+    res = solve_constrained(system, x0, us, u_min, u_max)
+    assert float(res.max_violation) <= 1e-5
+    assert np.isfinite(float(res.cost))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_scenario_mpc_consensus_step():
+    system = make_pendulum()
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    batch = n_dev * 2
+    key = jax.random.PRNGKey(0)
+    x0s = 0.2 * jax.random.normal(key, (batch, 2), dtype=jnp.float32)
+    us = jnp.zeros((batch, 20, 1), jnp.float32)
+    us_new, du0, stats = scenario_mpc_step(system, x0s, us, mesh)
+    assert us_new.shape == us.shape
+    assert du0.shape == (1,)
+    # The consensus update was applied identically to every scenario's u0.
+    first = np.asarray(us_new[:, 0, 0])
+    np.testing.assert_allclose(first, first[0], rtol=1e-6)
+    assert np.isfinite(float(stats["total_cost"]))

@@ -1,0 +1,165 @@
+"""Transcendental accuracy sweeps vs NumPy float64 — covering the reference's
+documented failures: exp wrong below 1.1, log wrong at 3.0 (reference
+README.md:8-10), and float pow absent (include/math/pow.h:16-52)."""
+
+import numpy as np
+import pytest
+
+from simplemath_tpu.ops import transcendental as tc
+
+
+def _ulp_err(got_f32, want_f64):
+    want_f32 = want_f64.astype(np.float32)
+    ulp = np.spacing(np.abs(want_f32)).astype(np.float64)
+    return np.abs(got_f32.astype(np.float64) - want_f64) / ulp
+
+
+def test_exp_full_domain():
+    x = np.linspace(-87.0, 88.0, 200_001).astype(np.float32)
+    got = np.asarray(tc.exp_f32(x))
+    want = np.exp(x.astype(np.float64))
+    assert np.max(_ulp_err(got, want)) < 4.0
+
+
+def test_exp_below_1_1():
+    # The reference's exp is wrong below 1.1 (README.md:10).
+    x = np.linspace(-1.5, 1.1, 100_001).astype(np.float32)
+    got = np.asarray(tc.exp_f32(x))
+    want = np.exp(x.astype(np.float64))
+    assert np.max(_ulp_err(got, want)) < 2.0
+
+
+def test_exp_edges():
+    x = np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 100.0, -200.0], np.float32)
+    got = np.asarray(tc.exp_f32(x))
+    assert got[0] == 1.0 and got[1] == 1.0
+    assert got[2] == np.inf and got[3] == 0.0
+    assert np.isnan(got[4])
+    assert got[5] == np.inf and got[6] == 0.0
+
+
+def test_exp_subnormal_results():
+    # Down in the f32 subnormal range the quantization step (1.4e-45)
+    # dominates relative error; require agreement within one subnormal ulp.
+    x = np.array([-95.0, -100.0, -103.0], np.float32)
+    got = np.asarray(tc.exp_f32(x))
+    want = np.exp(x.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1.5e-45)
+
+
+def test_log_full_domain():
+    x = np.logspace(-37, 38, 200_001).astype(np.float32)
+    got = np.asarray(tc.log_f32(x))
+    want = np.log(x.astype(np.float64))
+    assert np.max(_ulp_err(got, want)) < 4.0
+
+
+def test_log_at_3():
+    # The reference's log is wrong at 3.0 (README.md:10).
+    x = np.array([3.0], np.float32)
+    got = float(np.asarray(tc.log_f32(x))[0])
+    assert got == pytest.approx(np.log(3.0), rel=1e-7)
+
+
+def test_log_near_1():
+    # Cancellation region — hardest part of the range reduction.
+    x = np.linspace(0.9, 1.1, 100_001).astype(np.float32)
+    got = np.asarray(tc.log_f32(x))
+    want = np.log(x.astype(np.float64))
+    err = np.abs(got.astype(np.float64) - want)
+    assert np.max(err) < 1e-7
+
+
+def test_log_subnormal_inputs():
+    x = np.array([1e-40, 1e-44], np.float32)  # subnormal f32
+    got = np.asarray(tc.log_f32(x))
+    want = np.log(x.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_log_edges():
+    x = np.array([0.0, -1.0, np.inf, np.nan], np.float32)
+    got = np.asarray(tc.log_f32(x))
+    assert got[0] == -np.inf
+    assert np.isnan(got[1])
+    assert got[2] == np.inf
+    assert np.isnan(got[3])
+
+
+def test_exp2_log2_roundtrip():
+    x = np.linspace(-120.0, 120.0, 50_001).astype(np.float32)
+    got = np.asarray(tc.exp2_f32(x))
+    want = np.exp2(x.astype(np.float64))
+    assert np.max(_ulp_err(got, want)) < 4.0
+    y = np.logspace(-30, 30, 50_001).astype(np.float32)
+    got2 = np.asarray(tc.log2_f32(y))
+    want2 = np.log2(y.astype(np.float64))
+    assert np.max(_ulp_err(got2, want2)) < 4.0
+
+
+def test_pow_grid():
+    bases = np.logspace(-10, 10, 201).astype(np.float32)
+    exps = np.array([-3.0, -1.5, -1.0, -0.5, 0.5, 1.0, 2.0, 3.0, 7.5], np.float32)
+    b, e = np.meshgrid(bases, exps)
+    got = np.asarray(tc.pow_f32(b, e))
+    want = np.power(b.astype(np.float64), e.astype(np.float64))
+    # Compare only where the true result is representable in f32 (outside,
+    # the correct f32 answer is inf/0 — checked in the edge tests).
+    f32max = np.float64(np.finfo(np.float32).max)
+    f32tiny = np.float64(np.finfo(np.float32).tiny)
+    finite = (want < f32max) & (want > f32tiny)
+    rel = np.abs(got.astype(np.float64)[finite] - want[finite]) / np.abs(want[finite])
+    assert np.max(rel) < 1e-5
+
+
+def test_pow_negative_base_integer_exponent():
+    b = np.array([-2.0, -2.0, -3.0], np.float32)
+    e = np.array([2.0, 3.0, 4.0], np.float32)
+    got = np.asarray(tc.pow_f32(b, e))
+    np.testing.assert_allclose(got, [4.0, -8.0, 81.0], rtol=1e-6)
+
+
+def test_pow_edge_cases():
+    cases = [
+        (0.0, 0.0, 1.0),
+        (0.0, 2.0, 0.0),
+        (0.0, -1.0, np.inf),
+        (1.0, np.nan, 1.0),
+        (np.nan, 0.0, 1.0),
+        (-2.0, 0.5, np.nan),
+        (np.inf, 2.0, np.inf),
+        (np.inf, -2.0, 0.0),
+        (-np.inf, 3.0, -np.inf),
+        (2.0, np.inf, np.inf),
+    ]
+    b = np.array([c[0] for c in cases], np.float32)
+    e = np.array([c[1] for c in cases], np.float32)
+    want = np.array([c[2] for c in cases], np.float32)
+    got = np.asarray(tc.pow_f32(b, e))
+    for i, (bb, ee, ww) in enumerate(cases):
+        if np.isnan(ww):
+            assert np.isnan(got[i]), (bb, ee, got[i])
+        else:
+            assert got[i] == ww, (bb, ee, got[i], ww)
+
+
+def test_pow_matches_numpy_float_semantics(rng):
+    b = rng.uniform(0.01, 100.0, size=10_000).astype(np.float32)
+    e = rng.uniform(-5.0, 5.0, size=10_000).astype(np.float32)
+    got = np.asarray(tc.pow_f32(b, e))
+    want = np.power(b.astype(np.float64), e.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=3e-6)
+
+
+def test_ipow_tile_matches_int_semantics():
+    base = np.array([0, 0, 1, -1, -1, 2, -3, 5, -5], np.int32)
+    exp = np.array([3, 0, -5, -2, -3, -1, -2, 3, 4], np.int32)
+    got = np.asarray(tc.ipow_tile(base, exp))
+    want = np.array([0, 1, 1, 1, -1, 0, 0, 125, 625], np.int32)
+    assert np.array_equal(got, want)
+
+
+def test_pow_infinity_special():
+    # 2^inf handled by saturation path.
+    got = np.asarray(tc.pow_f32(np.float32(2.0), np.float32(np.inf)))
+    assert got == np.inf

@@ -1,0 +1,45 @@
+"""Aux subsystems: profiling/benchmark harness, metrics logger, checkpoint
+round-trip (SURVEY §5)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from simplemath_tpu.utils import MetricsLogger, benchmark, checkpoint
+
+
+def test_benchmark_result():
+    x = jnp.ones((256, 256), jnp.float32)
+    res = benchmark(lambda a: a + 1.0, x, warmup=1, repeats=3,
+                    bytes_moved=2 * x.size * 4)
+    assert res.median_s > 0
+    assert res.gbps is not None and res.gbps > 0
+    assert 0 < res.roofline_fraction
+
+
+def test_metrics_logger(tmp_path):
+    log = MetricsLogger("test")
+    log.log(0, cost=1.5, residual=jnp.asarray(0.25))
+    log.log(1, cost=1.0, residual=jnp.asarray(0.125))
+    assert len(log) == 2
+    assert log.summary()["cost"] == 1.0
+    path = os.path.join(tmp_path, "metrics.jsonl")
+    log.dump_jsonl(path)
+    with open(path) as f:
+        lines = f.readlines()
+    assert len(lines) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {
+        "us": jnp.ones((10, 2), jnp.float32),
+        "step": jnp.asarray(7),
+        "nested": {"x": jnp.arange(5)},
+    }
+    path = os.path.join(tmp_path, "ckpt")
+    checkpoint.save(path, state, metadata={"note": "test"})
+    restored = checkpoint.restore(path, like=state)
+    np.testing.assert_array_equal(np.asarray(restored["us"]), np.ones((10, 2)))
+    assert int(np.asarray(restored["step"])) == 7
+    np.testing.assert_array_equal(np.asarray(restored["nested"]["x"]), np.arange(5))

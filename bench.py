@@ -72,7 +72,11 @@ def bench_million_add(n=1_000_000):
     adds amortize the dispatch latency."""
 
     def run(a, b):
-        return jax.lax.fori_loop(0, _EW_ITERS, lambda i, acc: acc + b, a)
+        def body(acc, _):
+            return acc + b, None
+
+        out, _ = jax.lax.scan(body, a, None, length=_EW_ITERS)
+        return out
 
     fn = jax.jit(run)
 
@@ -96,12 +100,17 @@ def bench_elementwise_pallas(n=16 * 1024 * 1024):
     shape = (n // 1024, 1024)
 
     def run(a, b):
-        def body(i, acc):
-            return elementwise.pallas_elementwise(
-                lambda x, y: x + y, shape, jnp.float32, acc, b, name="bench_add"
+        def body(acc, _):
+            return (
+                elementwise.pallas_elementwise(
+                    lambda x, y: x + y, shape, jnp.float32, acc, b,
+                    name="bench_add",
+                ),
+                None,
             )
 
-        return jax.lax.fori_loop(0, _EW_ITERS, body, a)
+        out, _ = jax.lax.scan(body, a, None, length=_EW_ITERS)
+        return out
 
     fn = jax.jit(run)
 
@@ -134,12 +143,17 @@ def bench_pow(n=1000):
     iters = 32
 
     def run(a):
-        def body(i, acc):
-            return acc * np.float32(1e-3) + transcendental.pow(
-                a + acc * np.float32(1e-6), jnp.float32(2.0)
+        def body(acc, _):
+            return (
+                acc * np.float32(1e-3)
+                + transcendental.pow(
+                    a + acc * np.float32(1e-6), jnp.float32(2.0)
+                ),
+                None,
             )
 
-        return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(a))
+        out, _ = jax.lax.scan(body, jnp.zeros_like(a), None, length=iters)
+        return out
 
     fn = jax.jit(run)
 

@@ -134,8 +134,26 @@ def dot(a: Any, b: Any):
     fixing the reference's flat-buffer/totalSize-of-rhs behavior
     (SURVEY §2.4-3)."""
     av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))
+    out_dtype = jnp.result_type(av, bv)
+    backend = config.kernel_backend
+    if backend != "xla":
+        from . import matmul, reduction
+
+        if matmul.supported(av.shape, bv.shape, out_dtype) and (
+            backend == "pallas" or jax.default_backend() == "tpu"
+        ):
+            return Array(matmul.pallas_matmul(av, bv, out_dtype))
+        if (
+            backend == "pallas"
+            and av.ndim == 1
+            and bv.ndim == 1
+            and av.shape == bv.shape
+            and jnp.issubdtype(out_dtype, jnp.floating)
+            and out_dtype != jnp.dtype(jnp.float64)
+        ):
+            return Array(reduction.pallas_dot1d(av, bv).astype(out_dtype))
     preferred = None
-    if jnp.issubdtype(jnp.result_type(av, bv), jnp.floating):
-        preferred = jnp.promote_types(jnp.result_type(av, bv), jnp.float32)
+    if jnp.issubdtype(out_dtype, jnp.floating):
+        preferred = jnp.promote_types(out_dtype, jnp.float32)
     out = jnp.dot(av, bv, preferred_element_type=preferred)
     return Array(out)

@@ -1,0 +1,91 @@
+"""Pallas matmul + reduction kernels vs the NumPy oracle (interpret mode on
+CPU; the same kernels compile to Mosaic on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simplemath_tpu.ops import matmul, reduction
+
+
+def test_pallas_matmul_square(rng):
+    a = rng.normal(size=(256, 320)).astype(np.float32)
+    b = rng.normal(size=(320, 256)).astype(np.float32)
+    out = matmul.pallas_matmul(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(out), a @ b, rtol=1e-5, atol=1e-4
+    )
+
+
+def test_pallas_matmul_multi_k_steps(rng):
+    # K spans multiple accumulation steps (bk < K).
+    a = rng.normal(size=(64, 700)).astype(np.float32)
+    b = rng.normal(size=(700, 64)).astype(np.float32)
+    out = matmul.pallas_matmul(
+        jnp.asarray(a), jnp.asarray(b), block_m=64, block_k=256, block_n=64
+    )
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_matmul_unaligned(rng):
+    a = rng.normal(size=(100, 300)).astype(np.float32)
+    b = rng.normal(size=(300, 130)).astype(np.float32)
+    out = matmul.pallas_matmul(
+        jnp.asarray(a), jnp.asarray(b), block_m=64, block_k=128, block_n=64
+    )
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_matmul_bf16(rng):
+    a = rng.normal(size=(256, 256)).astype(np.float32)
+    b = rng.normal(size=(256, 256)).astype(np.float32)
+    out = matmul.pallas_matmul(
+        jnp.asarray(a, jnp.bfloat16),
+        jnp.asarray(b, jnp.bfloat16),
+        out_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=2e-2, atol=0.5)
+
+
+def test_matmul_supported_gates():
+    assert matmul.supported((512, 512), (512, 512), jnp.float32)
+    assert not matmul.supported((512,), (512,), jnp.float32)
+    assert not matmul.supported((64, 64), (64, 64), jnp.float32)
+    assert not matmul.supported((512, 512), (512, 512), jnp.float64)
+
+
+@pytest.mark.parametrize("kind", ["sum", "max", "min"])
+def test_pallas_reduce(kind, rng):
+    x = rng.normal(size=(5000,)).astype(np.float32)
+    out = reduction.pallas_reduce(jnp.asarray(x), kind)
+    expected = {"sum": np.sum, "max": np.max, "min": np.min}[kind](
+        x.astype(np.float64)
+    )
+    np.testing.assert_allclose(float(out), expected, rtol=1e-5)
+
+
+def test_pallas_reduce_2d_unaligned(rng):
+    x = rng.normal(size=(37, 41)).astype(np.float32)
+    out = reduction.pallas_reduce(jnp.asarray(x), "sum")
+    np.testing.assert_allclose(float(out), x.astype(np.float64).sum(), rtol=1e-5)
+
+
+def test_pallas_dot1d(rng):
+    a = rng.normal(size=(3333,)).astype(np.float32)
+    b = rng.normal(size=(3333,)).astype(np.float32)
+    out = reduction.pallas_dot1d(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        float(out), np.dot(a.astype(np.float64), b.astype(np.float64)), rtol=1e-5
+    )
+
+
+def test_dot1d_matches_reference_pattern(rng):
+    # product.h:74-116 parity case: float dot over a large flat array.
+    a = rng.normal(size=(100_000,)).astype(np.float32)
+    b = rng.normal(size=(100_000,)).astype(np.float32)
+    out = reduction.pallas_dot1d(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(
+        float(out),
+        np.dot(a.astype(np.float64), b.astype(np.float64)),
+        rtol=1e-4,
+    )

@@ -29,9 +29,17 @@ from .slicing import SLICE, SLICE_ALL, SLICE_END, SLICE_START, Slice  # noqa: F4
 from .broadcast import BroadcastResult, broadcast_shapes, total_size  # noqa: F401
 from .config import Config, config, update as configure  # noqa: F401
 from .api import (  # noqa: F401
+    abs,
     add,
+    allclose,
     arange,
+    argmax,
+    argmin,
     array,
+    clip,
+    concatenate,
+    cos,
+    cumsum,
     divide,
     dot,
     empty,
@@ -40,10 +48,30 @@ from .api import (  # noqa: F401
     full,
     log,
     log2,
+    matmul,
+    max,
+    maximum,
+    mean,
+    min,
+    minimum,
     multiply,
+    negative,
     ones,
     pow,
+    repeat,
+    reshape,
+    sign,
+    sin,
+    sort,
+    sqrt,
+    square,
+    stack,
     subtract,
+    sum,
+    tan,
+    tanh,
+    transpose,
+    where,
     zeros,
 )
 from .ops import apply_op, register_op, registered_ops  # noqa: F401

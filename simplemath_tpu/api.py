@@ -101,3 +101,70 @@ def log2(a) -> Array:
     from .ops import transcendental
 
     return Array(transcendental.log2(asarray(a).jax()))
+
+
+# --------------------------------------------------------------------------
+# NumPy-style free functions over Array (the rest of a complete ndarray
+# surface; all honor views and lower to XLA).
+def _wrap1(fn):
+    def wrapped(a, *args, **kwargs):
+        return Array(fn(asarray(a).jax(), *args, **kwargs))
+
+    return wrapped
+
+
+def _wrap2(fn):
+    def wrapped(a, b, *args, **kwargs):
+        av = asarray(a).jax() if not jnp.isscalar(a) else a
+        bv = asarray(b).jax() if not jnp.isscalar(b) else b
+        return Array(fn(av, bv, *args, **kwargs))
+
+    return wrapped
+
+
+transpose = _wrap1(jnp.transpose)
+reshape = _wrap1(jnp.reshape)
+repeat = _wrap1(jnp.repeat)
+sum = _wrap1(jnp.sum)  # noqa: A001 - numpy-style namespace
+mean = _wrap1(jnp.mean)
+max = _wrap1(jnp.max)  # noqa: A001
+min = _wrap1(jnp.min)  # noqa: A001
+argmax = _wrap1(jnp.argmax)
+argmin = _wrap1(jnp.argmin)
+abs = _wrap1(jnp.abs)  # noqa: A001
+sqrt = _wrap1(jnp.sqrt)
+square = _wrap1(jnp.square)
+sin = _wrap1(jnp.sin)
+cos = _wrap1(jnp.cos)
+tan = _wrap1(jnp.tan)
+tanh = _wrap1(jnp.tanh)
+negative = _wrap1(jnp.negative)
+sign = _wrap1(jnp.sign)
+clip = _wrap1(jnp.clip)
+cumsum = _wrap1(jnp.cumsum)
+sort = _wrap1(jnp.sort)
+maximum = _wrap2(jnp.maximum)
+minimum = _wrap2(jnp.minimum)
+matmul = _wrap2(jnp.matmul)
+
+
+def where(cond, x, y) -> Array:
+    from .array import as_jax
+
+    return Array(jnp.where(as_jax(cond), as_jax(x), as_jax(y)))
+
+
+def concatenate(arrays, axis=0) -> Array:
+    return Array(jnp.concatenate([asarray(a).jax() for a in arrays], axis=axis))
+
+
+def stack(arrays, axis=0) -> Array:
+    return Array(jnp.stack([asarray(a).jax() for a in arrays], axis=axis))
+
+
+def allclose(a, b, rtol=1e-5, atol=1e-8) -> bool:
+    import numpy as np
+
+    return bool(
+        np.allclose(asarray(a).numpy(), asarray(b).numpy(), rtol=rtol, atol=atol)
+    )

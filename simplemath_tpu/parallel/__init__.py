@@ -14,3 +14,9 @@ from .collectives import (  # noqa: F401
     shard_map,
 )
 from .sharded import make_sharded_train_step, solve_batched_sharded  # noqa: F401
+from .multihost import (  # noqa: F401
+    host_local_batch_slice,
+    initialize_from_env,
+    pod_mesh,
+    scaling_efficiency,
+)

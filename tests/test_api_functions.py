@@ -1,0 +1,76 @@
+"""NumPy-style free-function surface vs the NumPy oracle."""
+
+import numpy as np
+
+import simplemath_tpu as sm
+
+
+def test_unary_functions(rng):
+    x = rng.normal(size=(4, 5)).astype(np.float32)
+    a = sm.Array(x)
+    np.testing.assert_allclose(sm.sin(a).numpy(), np.sin(x), rtol=1e-6)
+    np.testing.assert_allclose(sm.cos(a).numpy(), np.cos(x), rtol=1e-6)
+    np.testing.assert_allclose(sm.tanh(a).numpy(), np.tanh(x), rtol=1e-6)
+    np.testing.assert_allclose(sm.abs(a).numpy(), np.abs(x), rtol=1e-6)
+    np.testing.assert_allclose(sm.square(a).numpy(), x * x, rtol=1e-6)
+    np.testing.assert_allclose(
+        sm.sqrt(sm.abs(a)).numpy(), np.sqrt(np.abs(x)), rtol=1e-6
+    )
+
+
+def test_reductions(rng):
+    x = rng.normal(size=(3, 7)).astype(np.float32)
+    a = sm.Array(x)
+    np.testing.assert_allclose(float(sm.sum(a).jax()), x.sum(), rtol=1e-5)
+    np.testing.assert_allclose(
+        sm.sum(a, axis=0).numpy(), x.sum(axis=0), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(sm.mean(a).jax()), x.mean(), rtol=1e-5)
+    assert float(sm.max(a).jax()) == x.max()
+    assert float(sm.min(a).jax()) == x.min()
+    assert int(sm.argmax(a).jax()) == x.argmax()
+
+
+def test_shape_functions(rng):
+    x = rng.normal(size=(2, 6)).astype(np.float32)
+    a = sm.Array(x)
+    assert sm.transpose(a).shape == (6, 2)
+    assert sm.reshape(a, (3, 4)).shape == (3, 4)
+    np.testing.assert_array_equal(
+        sm.repeat(sm.Array([1, 2]), 2).numpy(), np.array([1, 1, 2, 2])
+    )
+    c = sm.concatenate([a, a], axis=0)
+    assert c.shape == (4, 6)
+    s = sm.stack([a, a])
+    assert s.shape == (2, 2, 6)
+
+
+def test_binary_functions(rng):
+    x = rng.normal(size=(5,)).astype(np.float32)
+    y = rng.normal(size=(5,)).astype(np.float32)
+    a, b = sm.Array(x), sm.Array(y)
+    np.testing.assert_allclose(sm.maximum(a, b).numpy(), np.maximum(x, y))
+    np.testing.assert_allclose(sm.minimum(a, b).numpy(), np.minimum(x, y))
+    np.testing.assert_allclose(
+        sm.where(a > b, a, b).numpy(), np.where(x > y, x, y)
+    )
+
+
+def test_matmul_function(rng):
+    x = rng.normal(size=(3, 4)).astype(np.float32)
+    y = rng.normal(size=(4, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        sm.matmul(sm.Array(x), sm.Array(y)).numpy(), x @ y, rtol=1e-5
+    )
+
+
+def test_allclose_helper():
+    assert sm.allclose(sm.Array([1.0, 2.0]), sm.Array([1.0, 2.0]))
+    assert not sm.allclose(sm.Array([1.0]), sm.Array([2.0]))
+
+
+def test_views_through_free_functions(rng):
+    x = rng.normal(size=(4, 4)).astype(np.float32)
+    a = sm.Array(x)
+    v = a.T[1:3]
+    np.testing.assert_allclose(sm.sum(v, axis=1).numpy(), x.T[1:3].sum(axis=1), rtol=1e-5)

@@ -213,40 +213,36 @@ def bench_pendulum(batch=4096, horizon=50, iters=10, quick=False):
     return {"time_s": t, "batch": batch, "solves_per_s": batch / t}
 
 
-def bench_quadrotor_replan(horizon=50, iters=2, loop_steps=100):
+def bench_quadrotor_replan(horizon=50, loop_steps=200):
     """MPC replan latency (1 kHz budget = 1 ms per replan).
 
-    Runs a closed control loop ON DEVICE: `loop_steps` sequential
-    (replan -> apply first control -> step dynamics) cycles inside one
-    jitted lax.scan, so the per-replan time excludes host/tunnel dispatch
-    (which a deployed TPU-resident controller also avoids)."""
+    Uses the parallel-in-time RTI solver (models/rti.py): linearize
+    (parallel) + associative-scan backward + associative-scan affine
+    forward, O(log H) sequential depth — the only structure that fits the
+    budget given this platform's ~12 us per-sequential-step floor.  Runs a
+    closed control loop ON DEVICE (`loop_steps` ticks inside one jitted
+    lax.scan), so per-replan time excludes host dispatch, which a deployed
+    TPU-resident controller also avoids."""
     from simplemath_tpu.models import make_quadrotor
-    from simplemath_tpu.models import ilqr as _ilqr
+    from simplemath_tpu.models import rti as _rti
 
     system = make_quadrotor()
-    cfg = _ilqr.ILQRConfig(iterations=iters, alphas=(1.0, 0.5, 0.1))
 
-    def run(x0, us_warm):
-        def body(carry, _):
-            x, us = carry
-            res = _ilqr.solve(system, x, us, cfg)
-            u0 = res.us[0]
-            us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
-            x_next = system.step(x, u0)
-            return (x_next, us_next), res.cost
-
-        (xf, _), costs = jax.lax.scan(
-            body, (x0, us_warm), None, length=loop_steps
+    def run(x0):
+        xs, us, costs, defects = _rti.rti_closed_loop(
+            system, x0, horizon=horizon, ticks=loop_steps
         )
         return costs
 
     fn = jax.jit(run)
 
     def make_args(i):
-        x0 = 0.1 * jax.random.normal(
-            jax.random.PRNGKey(i), (system.nx,), dtype=jnp.float32
+        return (
+            0.1
+            * jax.random.normal(
+                jax.random.PRNGKey(i), (system.nx,), dtype=jnp.float32
+            ),
         )
-        return (x0, jnp.zeros((horizon, system.nu), jnp.float32))
 
     t = _timeit(fn, make_args, warmup=1, repeats=3) / loop_steps
     return {"replan_s": t, "replan_hz": 1.0 / t, "meets_1khz": t < 1e-3}

@@ -17,3 +17,17 @@ from .ilqr import (  # noqa: F401
     solve_batched,
     trajectory_cost,
 )
+from .rti import (  # noqa: F401
+    RTIConfig,
+    RTIState,
+    rti_closed_loop,
+    rti_init,
+    rti_tick,
+)
+from .sqp_mpc import (  # noqa: F401
+    MPCController,
+    SQPConfig,
+    scenario_mpc_step,
+    solve_constrained,
+)
+from .simulate import SimResult, closed_loop  # noqa: F401

@@ -251,9 +251,13 @@ def backward_associative(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
         def tr(M):
             return jnp.swapaxes(M, -1, -2)
 
-        # M = (I + Ci Jj)^{-1}; N = (I + Jj Ci)^{-1}
-        M = jnp.linalg.solve(I_x + Ci @ Jj, jnp.broadcast_to(I_x, Ci.shape))
-        N = jnp.linalg.solve(I_x + Jj @ Ci, jnp.broadcast_to(I_x, Ci.shape))
+        # M = (I + Ci Jj)^{-1}; N = (I + Jj Ci)^{-1} — unrolled inverses
+        # (jnp.linalg.solve's LU loops explode TPU compile time here; see
+        # ops/linalg_small.py).
+        from ..ops.linalg_small import inv_unrolled
+
+        M = inv_unrolled(I_x + Ci @ Jj)
+        N = inv_unrolled(I_x + Jj @ Ci)
         F = Fj @ M @ Fi
         c = mv(Fj @ M, ci + mv(Ci, etaj)) + cj
         C = Fj @ M @ Ci @ tr(Fj) + Cj

@@ -91,12 +91,14 @@ def backward_associative_defect(
     I_u = jnp.eye(nu, dtype=B.dtype)
     I_x = jnp.eye(nx, dtype=A.dtype)
 
+    from ..ops.linalg_small import solve_unrolled
+
     def make_elem(inp):
         A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, d_t = inp
         Ru = luu_t + reg * I_u
-        Ru_inv_lux = _ilqr._solve_psd(Ru, lux_t)
-        Ru_inv_lu = _ilqr._solve_psd(Ru, lu_t)
-        Ru_inv_Bt = _ilqr._solve_psd(Ru, B_t.T)
+        Ru_inv_lux = solve_unrolled(Ru, lux_t)
+        Ru_inv_lu = solve_unrolled(Ru, lu_t)
+        Ru_inv_Bt = solve_unrolled(Ru, B_t.T)
         F = A_t - B_t @ Ru_inv_lux
         c = d_t - B_t @ Ru_inv_lu
         C = B_t @ Ru_inv_Bt
@@ -126,8 +128,13 @@ def backward_associative_defect(
         def tr(M):
             return jnp.swapaxes(M, -1, -2)
 
-        M = jnp.linalg.solve(I_x + Ci @ Jj, jnp.broadcast_to(I_x, Ci.shape))
-        N = jnp.linalg.solve(I_x + Jj @ Ci, jnp.broadcast_to(I_x, Ci.shape))
+        # Unrolled inverses: jnp.linalg.solve's pivoted-LU loops make the
+        # TPU compile of this nested program pathologically slow
+        # (ops/linalg_small.py).
+        from ..ops.linalg_small import inv_unrolled
+
+        M = inv_unrolled(I_x + Ci @ Jj)
+        N = inv_unrolled(I_x + Jj @ Ci)
         F = Fj @ M @ Fi
         c = mv(Fj @ M, ci + mv(Ci, etaj)) + cj
         C = Fj @ M @ Ci @ tr(Fj) + Cj
@@ -148,8 +155,8 @@ def backward_associative_defect(
         Qu = lu_t + B_t.T @ Vx_eff
         Quu = luu_t + B_t.T @ Vxx @ B_t + reg * I_u
         Qux = lux_t + B_t.T @ Vxx @ A_t
-        k_t = -_ilqr._solve_psd(Quu, Qu)
-        K_t = -_ilqr._solve_psd(Quu, Qux)
+        k_t = -solve_unrolled(Quu, Qu)
+        K_t = -solve_unrolled(Quu, Qux)
         return k_t, K_t
 
     ks, Ks = jax.vmap(gains)((A, B, lu, luu, lux, d), Vx_all[1:], Vxx_all[1:])

@@ -187,7 +187,9 @@ def backward_sequential(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     return ks, Ks
 
 
-def backward_associative(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
+def backward_associative(
+    A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, return_values=False
+):
     """Riccati backward pass as an associative scan over value elements.
 
     Each step k contributes a conditional-value element
@@ -289,6 +291,8 @@ def backward_associative(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     ks, Ks = jax.vmap(gains)(
         (A, B, lx, lu, lxx, luu, lux), Vx_all[1:], Vxx_all[1:]
     )
+    if return_values:
+        return ks, Ks, Vx_all, Vxx_all
     return ks, Ks
 
 

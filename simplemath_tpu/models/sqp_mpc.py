@@ -186,18 +186,16 @@ def scenario_mpc_step(
             A, B, lx, lu, lxx, luu, lux, VxT, VxxT = _ilqr.linearize(
                 system, xs, us
             )
-            ks, Ks = _ilqr.backward_sequential(
+            ks, Ks, Vx_all, Vxx_all = _ilqr.backward_associative(
                 A, B, lx, lu, lxx, luu, lux, VxT, VxxT,
                 jnp.asarray(cfg.reg_init, us.dtype),
+                return_values=True,
             )
-            # First-step KKT block, recomputed at t=0 for the consensus QP.
+            # Exact first-step KKT block from the Riccati value at t=1.
             nu = us.shape[-1]
             I_u = jnp.eye(nu, dtype=us.dtype)
-            # Riccati value at t=1 comes from re-running one step; reuse the
-            # gains: Quu_0 ≈ luu_0 + B_0^T Vxx_1 B_0 with Vxx_1 from gains is
-            # not directly exposed, so use the Gauss-Newton surrogate.
-            Quu0 = luu[0] + B[0].T @ VxxT @ B[0] + cfg.reg_init * I_u
-            Qu0 = lu[0] + B[0].T @ VxT
+            Quu0 = luu[0] + B[0].T @ Vxx_all[1] @ B[0] + cfg.reg_init * I_u
+            Qu0 = lu[0] + B[0].T @ Vx_all[1]
             return ks, Ks, Quu0, Qu0, xs
 
         ks, Ks, Quu0, Qu0, xs = jax.vmap(per_scenario)(x0s, uss)

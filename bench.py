@@ -135,10 +135,11 @@ def bench_elementwise_pallas(n=16 * 1024 * 1024):
 
 def bench_pow(n=1000):
     """Reference BM_SMArrayPow_Large (benchmark/pow.cpp:33-49): NxN float
-    pow^2 through our transcendental kernel.  Looped on-device with a
-    varying base (acc-coupled) to defeat caching; per-iteration time also
-    includes one accumulate add."""
-    from simplemath_tpu.ops import transcendental
+    pow^2 through the public ``sm.pow`` — which, like the reference's call
+    site, sees a static exponent and specializes to repeated squaring.
+    Looped on-device with a varying base (acc-coupled) to defeat caching;
+    per-iteration time also includes one accumulate add."""
+    import simplemath_tpu as sm
 
     iters = 32
 
@@ -146,9 +147,7 @@ def bench_pow(n=1000):
         def body(acc, _):
             return (
                 acc * np.float32(1e-3)
-                + transcendental.pow(
-                    a + acc * np.float32(1e-6), jnp.float32(2.0)
-                ),
+                + sm.pow(sm.Array(a + acc * np.float32(1e-6)), 2).jax(),
                 None,
             )
 

@@ -44,14 +44,33 @@ def _pad_shape(shape: Sequence[int], nd: int) -> tuple:
     return (1,) * (nd - len(shape)) + shape
 
 
-def _choose_blocks(out_shape: Sequence[int], rows: int, cols: int):
-    """Block extents for the trailing two dims; leading dims get block 1."""
+# VMEM working-set budget for the elementwise kernel: all operand+output
+# blocks, double-buffered by the Mosaic pipeline, must fit well under the
+# 16 MiB VMEM (padding of unaligned trailing dims included).
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _choose_blocks(
+    out_shape: Sequence[int], rows: int, cols: int, n_buffers: int, itemsize: int
+):
+    """Block extents for the trailing two dims; leading dims get block 1.
+
+    Rows shrink until the double-buffered working set fits the budget."""
     nd = len(out_shape)
     blocks = [1] * nd
     if nd >= 1:
         blocks[-1] = min(cols, out_shape[-1])
     if nd >= 2:
-        blocks[-2] = min(rows, out_shape[-2])
+        br = min(rows, out_shape[-2])
+        padded_cols = _round_up(blocks[-1], 128)
+        per_row_bytes = padded_cols * itemsize * n_buffers * 2
+        while br > 8 and _round_up(br, 8) * per_row_bytes > _VMEM_BUDGET_BYTES:
+            br //= 2
+        blocks[-2] = br
     return tuple(blocks)
 
 
@@ -71,7 +90,12 @@ def _build_call(
     # cache key hashable.
     tile_fn = _TILE_FNS[tile_fn_id]
     nd = len(out_shape)
-    blocks = _choose_blocks(out_shape, rows, cols)
+    itemsize = max(
+        [jnp.dtype(out_dtype).itemsize] + [jnp.dtype(d).itemsize for d in in_dtypes]
+    )
+    blocks = _choose_blocks(
+        out_shape, rows, cols, n_buffers=len(in_shapes) + 1, itemsize=itemsize
+    )
     grid = tuple(_cdiv(out_shape[d], blocks[d]) for d in range(nd))
 
     def in_spec(shape):

@@ -107,18 +107,44 @@ def _int_pow(base, exponent):
     return jnp.where(exponent < 0, neg, pos)
 
 
+def _static_int_pow(x, e: int):
+    """x**e for a STATIC integer exponent by repeated squaring — exact,
+    memory-bound (a handful of fused multiplies), no transcendentals."""
+    if e == 0:
+        return jnp.ones_like(x)
+    inv = e < 0
+    e = -e if inv else e
+    result = None
+    base = x
+    while e:
+        if e & 1:
+            result = base if result is None else result * base
+        base = base * base
+        e >>= 1
+    return 1.0 / result if inv else result
+
+
 def pow(a: Any, b: Any) -> Array:
     """Elementwise power — reference ``sm::pow`` (include/UserFunctions.h:42-48,
     include/math/pow.h).  Unlike the reference (flat-buffer iteration,
     SURVEY §2.4-3), views are honored; float pow uses the transcendental
     kernel path with correct range reduction (the reference's admitted
-    failure, README.md:8-10)."""
+    failure, README.md:8-10).  Static integer exponents (the benchmark's
+    ``pow(a, 2)`` shape) specialize to repeated squaring — exact and
+    memory-bound instead of transcendental-bound."""
     av, bv = as_jax(a), as_jax(b)
     broadcast_shapes(jnp.shape(av), jnp.shape(bv))
     a_dt = jnp.result_type(av)
     b_dt = jnp.result_type(bv)
     if jnp.issubdtype(a_dt, jnp.integer) and jnp.issubdtype(b_dt, jnp.integer):
         return Array(_int_pow(av, bv))
+    if (
+        isinstance(b, (int, float))
+        and float(b) == int(b)
+        and abs(int(b)) <= 64
+        and jnp.issubdtype(a_dt, jnp.floating)
+    ):
+        return Array(_static_int_pow(jnp.asarray(av), int(b)))
     from . import transcendental
 
     return Array(transcendental.pow(av, bv))

@@ -74,6 +74,16 @@ def _choose_blocks(
     return tuple(blocks)
 
 
+def _compiler_params(grid_len: int):
+    """Mark all grid dims parallel so Mosaic may reorder/pipeline freely
+    (elementwise tiles are independent).  Interpret mode ignores these."""
+    try:
+        cp = pltpu.CompilerParams  # jax >= 0.5
+    except AttributeError:  # pragma: no cover - older jax
+        cp = pltpu.TPUCompilerParams
+    return cp(dimension_semantics=("parallel",) * grid_len)
+
+
 @functools.lru_cache(maxsize=512)
 def _build_call(
     op_name: str,
@@ -85,6 +95,7 @@ def _build_call(
     interpret: bool,
     rows: int,
     cols: int,
+    donate: int | None = None,
 ):
     # tile_fn resolved by the caller and closed over via _TILE_FNS to keep the
     # cache key hashable.
@@ -111,13 +122,29 @@ def _build_call(
         vals = [r[...] for r in refs[:-1]]
         out_ref[...] = tile_fn(*vals).astype(out_ref.dtype)
 
+    aliases = {}
+    if donate is not None:
+        # Donating an input lets XLA write the output in place — inside jitted
+        # loops this removes a full extra read+write of the carry buffer (the
+        # analog of the reference mutating `data` in place rather than
+        # allocating per op, SMArray.h:219).
+        if in_shapes[donate] != out_shape or jnp.dtype(in_dtypes[donate]) != jnp.dtype(
+            out_dtype
+        ):
+            raise ValueError(
+                f"donated operand {donate} must match output shape/dtype; got "
+                f"{in_shapes[donate]}/{in_dtypes[donate]} vs {out_shape}/{out_dtype}"
+            )
+        aliases = {donate: 0}
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         grid=grid,
         in_specs=[in_spec(s) for s in in_shapes],
         out_specs=pl.BlockSpec(blocks, lambda *g: g, memory_space=pltpu.VMEM),
+        input_output_aliases=aliases,
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(len(grid)),
     )
     return call
 
@@ -131,11 +158,16 @@ def _tile_fn_id(fn: Callable) -> int:
     return fid
 
 
-def pallas_elementwise(tile_fn: Callable, out_shape, out_dtype, *operands, name="op"):
+def pallas_elementwise(
+    tile_fn: Callable, out_shape, out_dtype, *operands, name="op", donate=None
+):
     """Run ``tile_fn`` over broadcast operands with the generic kernel.
 
     ``operands`` are jax arrays (already materialized); their shapes must be
-    broadcast-compatible with ``out_shape``.
+    broadcast-compatible with ``out_shape``.  ``donate=i`` declares operand
+    ``i`` (which must match the output shape/dtype exactly) dead after the
+    call so the output is written in place — use inside jitted loops where
+    the operand is a loop carry.
     """
     out_shape = tuple(int(s) for s in out_shape)
     nd = max(1, len(out_shape))
@@ -146,7 +178,7 @@ def pallas_elementwise(tile_fn: Callable, out_shape, out_dtype, *operands, name=
         # Promote to 2-D so tiles have (sublane, lane) structure.
         ops2 = [jnp.reshape(o, (1,) + _pad_shape(jnp.shape(o), 1)) for o in operands]
         out = pallas_elementwise(
-            tile_fn, (1,) + out_shape, out_dtype, *ops2, name=name
+            tile_fn, (1,) + out_shape, out_dtype, *ops2, name=name, donate=donate
         )
         return jnp.reshape(out, out_shape)
 
@@ -165,6 +197,7 @@ def pallas_elementwise(tile_fn: Callable, out_shape, out_dtype, *operands, name=
         config.interpret_mode(),
         config.ew_block_rows,
         config.ew_block_cols,
+        donate,
     )
     return call(*padded)
 

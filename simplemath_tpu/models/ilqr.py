@@ -187,6 +187,72 @@ def backward_sequential(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     return ks, Ks
 
 
+def backward_sequential_soa(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
+    """Batched Riccati backward pass in batch-minor (SoA) layout.
+
+    Same recursion as :func:`backward_sequential`, but over a whole scenario
+    batch at once: inputs are batch-LEADING ``(Bb, H, ...)`` arrays (as
+    produced by a vmapped linearize) and ``reg`` is per-scenario ``(Bb,)``.
+    Internally every small matrix becomes an ``(n, m, Bb)`` stack so the
+    scenario batch fills the 128-lane minor axis of each VPU op instead of
+    the 4x4 matrix doing so — see ops/soa.py for the layout argument and
+    measurements (~40x on the cartpole backward pass).
+
+    The Cholesky solve of the vmapped path becomes an unrolled Gauss-Jordan
+    inverse (closed-form for nu <= 2); Quu is PD by construction here
+    (psd_cost_hessians + reg), where pivoting would matter it returns
+    inf/nan and the NaN-robust accept in :func:`solve` rejects the step.
+    """
+    from ..ops import soa
+
+    nu = B.shape[-1]
+    # (Bb, H, n, m) -> (H, n, m, Bb): one transpose at the boundary.
+    tr = lambda x: jnp.moveaxis(x, 0, -1)
+    A_, B_, lxx_, luu_, lux_, lx_, lu_ = map(tr, (A, B, lxx, luu, lux, lx, lu))
+    Vx0 = tr(Vx_T)
+    Vxx0 = tr(Vxx_T)
+    eye_u = soa.eye_like(nu, B_)
+    reg = jnp.asarray(reg, A.dtype)
+
+    def body(carry, inp):
+        Vx, Vxx = carry
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        At, Bt = soa.transpose(A_t), soa.transpose(B_t)
+        VxxA = soa.matmul(Vxx, A_t)
+        VxxB = soa.matmul(Vxx, B_t)
+        Qx = lx_t + soa.matvec(At, Vx)
+        Qu = lu_t + soa.matvec(Bt, Vx)
+        Qxx = lxx_t + soa.matmul(At, VxxA)
+        Quu = luu_t + soa.matmul(Bt, VxxB) + reg * eye_u
+        Qux = lux_t + soa.matmul(Bt, VxxA)
+        Quu_inv = soa.inv(Quu)
+        k_t = -soa.matvec(Quu_inv, Qu)
+        K_t = -soa.matmul(Quu_inv, Qux)
+        Kt = soa.transpose(K_t)
+        Quxt = soa.transpose(Qux)
+        Vx_new = (
+            Qx
+            + soa.matvec(Kt, soa.matvec(Quu, k_t))
+            + soa.matvec(Kt, Qu)
+            + soa.matvec(Quxt, k_t)
+        )
+        Vxx_new = (
+            Qxx
+            + soa.matmul(Kt, soa.matmul(Quu, K_t))
+            + soa.matmul(Kt, Qux)
+            + soa.matmul(Quxt, K_t)
+        )
+        Vxx_new = 0.5 * (Vxx_new + soa.transpose(Vxx_new))
+        return (Vx_new, Vxx_new), (k_t, K_t)
+
+    (_, _), (ks, Ks) = jax.lax.scan(
+        body, (Vx0, Vxx0), (A_, B_, lx_, lu_, lxx_, luu_, lux_), reverse=True
+    )
+    # (H, n[, m], Bb) -> (Bb, H, n[, m])
+    back = lambda x: jnp.moveaxis(x, -1, 0)
+    return back(ks), back(Ks)
+
+
 def backward_associative(
     A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, return_values=False
 ):
@@ -377,10 +443,76 @@ def solve(
 def solve_batched(
     system: System, x0_batch, us_init_batch, config: ILQRConfig = ILQRConfig()
 ) -> ILQRResult:
-    """vmap over the scenario axis — thousands of solves per chip
-    (BASELINE.json configs 3-4)."""
-    return jax.vmap(lambda x0, us: solve(system, x0, us, config))(
-        x0_batch, us_init_batch
+    """Batched solve over the scenario axis — thousands of solves per chip
+    (BASELINE.json configs 3-4).
+
+    Rollout/linearize/line-search stages vmap over scenarios (their hot
+    loops are already wide).  The Riccati backward pass — the dominant cost
+    at scale — runs in batch-minor SoA layout instead
+    (:func:`backward_sequential_soa`); the ``associative`` backward keeps
+    the vmapped path (its element tuples are built for `associative_scan`).
+    Semantics match ``vmap(solve)`` exactly up to f32 summation order.
+    """
+    if config.backward == "associative":
+        return jax.vmap(lambda x0, us: solve(system, x0, us, config))(
+            x0_batch, us_init_batch
+        )
+
+    rollout_b = jax.vmap(lambda x0, us: rollout(system.step, x0, us))
+    cost_b = jax.vmap(lambda xs, us: trajectory_cost(system, xs, us))
+    lin_b = jax.vmap(lambda xs, us: linearize(system, xs, us))
+    fwd_b = jax.vmap(
+        lambda xs, us, ks, Ks: forward_linesearch(
+            system, xs, us, ks, Ks, config.alphas
+        )
+    )
+
+    xs0 = rollout_b(x0_batch, us_init_batch)
+    cost0 = cost_b(xs0, us_init_batch)
+    psd_mode = config.psd
+    if psd_mode == "auto":
+        psd_mode = "clamp_diag" if system.separable_cost else "eigh"
+
+    def iteration(carry, _):
+        xs, us, cost, reg = carry  # cost, reg: (Bb,)
+        A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T = lin_b(xs, us)
+        lxx, luu, lux, Vxx_T = psd_cost_hessians(
+            lxx, luu, lux, Vxx_T, psd_mode, config.psd_eps
+        )
+        ks, Ks = backward_sequential_soa(
+            A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg
+        )
+        xs_new, us_new, cost_new = fwd_b(xs, us, ks, Ks)
+        improved = jnp.isfinite(cost_new) & (cost_new < cost)
+        xs = jnp.where(improved[:, None, None], xs_new, xs)
+        us = jnp.where(improved[:, None, None], us_new, us)
+        reg = jnp.where(
+            improved,
+            jnp.maximum(reg * config.reg_scale_down, config.reg_init),
+            jnp.minimum(reg * config.reg_scale_up, config.reg_max),
+        )
+        cost = jnp.where(improved, cost_new, cost)
+        grad_norm = jnp.nan_to_num(
+            jnp.max(jnp.abs(ks), axis=(1, 2)), nan=jnp.inf
+        )
+        return (xs, us, cost, reg), (cost, grad_norm)
+
+    init = (
+        xs0,
+        us_init_batch,
+        cost0,
+        jnp.full(cost0.shape, config.reg_init, xs0.dtype),
+    )
+    (xs, us, cost, _), (cost_trace, grad_norms) = jax.lax.scan(
+        iteration, init, None, length=config.iterations
+    )
+    # Batch-leading result fields; cost_trace comes out (iters, Bb).
+    return ILQRResult(
+        xs=xs,
+        us=us,
+        cost=cost,
+        cost_trace=jnp.moveaxis(cost_trace, 0, 1),
+        grad_norm=grad_norms[-1],
     )
 
 

@@ -46,6 +46,22 @@ class System:
     # clamping instead of a batched eigh — ~10x faster backward-pass prep on
     # TPU (ILQRConfig.psd="auto").
     separable_cost: bool = False
+    # True when step/stage_cost/final_cost accept states with arbitrary
+    # TRAILING batch axes — x of shape (nx, *batch), u of (nu, *batch),
+    # costs returning (*batch).  Lets the batched solvers run rollouts and
+    # line searches in batch-minor SoA layout (ops/soa.py) where the
+    # scenario batch fills the TPU's 128-lane axis, instead of vmapping
+    # with the tiny state dim minor.  Leading-axis indexing (``x[0]``) plus
+    # ``jnp.stack`` along axis 0 gives this for free; constants must
+    # broadcast from the left (see _left_bcast).
+    batch_polymorphic: bool = False
+
+
+def _left_bcast(c, x):
+    """Reshape a (k,) constant vector so it broadcasts against a stacked
+    (k, *batch) state: (k,) -> (k, 1, ..., 1)."""
+    c = jnp.asarray(c, x.dtype)
+    return c.reshape(c.shape + (1,) * (x.ndim - 1))
 
 
 # ---------------------------------------------------------------- pendulum
@@ -71,7 +87,7 @@ def make_pendulum(dt: float = 0.05) -> System:
         return 0.5 * (100.0 * th_err**2 + 10.0 * x[1] ** 2)
 
     return System("pendulum", 2, 1, dt, step, stage_cost, final_cost,
-                  separable_cost=True)
+                  separable_cost=True, batch_polymorphic=True)
 
 
 # ---------------------------------------------------------------- cartpole
@@ -111,7 +127,7 @@ def make_cartpole(dt: float = 0.02) -> System:
         )
 
     return System("cartpole", 4, 1, dt, step, stage_cost, final_cost,
-                  separable_cost=True)
+                  separable_cost=True, batch_polymorphic=True)
 
 
 # --------------------------------------------------------------- quadrotor
@@ -127,8 +143,9 @@ def make_quadrotor(dt: float = 0.02) -> System:
 
     def f(x, u):
         # Constants follow the state dtype so f32 pipelines stay f32 even
-        # under jax_enable_x64.
-        J = jnp.asarray(J_np, x.dtype)
+        # under jax_enable_x64, and broadcast from the LEFT so stacked
+        # (nx, *batch) states work (batch_polymorphic).
+        J = _left_bcast(J_np, x)
         vel = x[3:6]
         phi, theta, psi = x[6], x[7], x[8]
         omega = x[9:12]
@@ -142,7 +159,8 @@ def make_quadrotor(dt: float = 0.02) -> System:
         zb = jnp.stack(
             [cph * sth * cps + sph * sps, cph * sth * sps - sph * cps, cph * cth]
         )
-        acc = (thrust / mass) * zb - jnp.asarray([0.0, 0.0, g], x.dtype)
+        gvec = _left_bcast([0.0, 0.0, g], x)
+        acc = (thrust / mass) * zb - gvec
 
         # Euler kinematics (ZYX): eulerdot = E(phi, theta) @ omega.
         tth = sth / cth
@@ -153,7 +171,7 @@ def make_quadrotor(dt: float = 0.02) -> System:
                 (sph * omega[1] + cph * omega[2]) / cth,
             ]
         )
-        omegadot = (torque - jnp.cross(omega, J * omega)) / J
+        omegadot = (torque - jnp.cross(omega, J * omega, axis=0)) / J
         return jnp.concatenate([vel, acc, eulerdot, omegadot])
 
     def step(x, u):
@@ -165,16 +183,16 @@ def make_quadrotor(dt: float = 0.02) -> System:
     Rdiag_np = np.array([0.1, 0.5, 0.5, 0.5])
 
     def stage_cost(x, u):
-        Qd = jnp.asarray(Qdiag_np, x.dtype)
-        Rd = jnp.asarray(Rdiag_np, u.dtype)
-        return 0.5 * (jnp.sum(Qd * x * x) + jnp.sum(Rd * u * u))
+        Qd = _left_bcast(Qdiag_np, x)
+        Rd = _left_bcast(Rdiag_np, u)
+        return 0.5 * (jnp.sum(Qd * x * x, axis=0) + jnp.sum(Rd * u * u, axis=0))
 
     def final_cost(x):
-        Qd = jnp.asarray(Qdiag_np, x.dtype)
-        return 0.5 * 10.0 * jnp.sum(Qd * x * x)
+        Qd = _left_bcast(Qdiag_np, x)
+        return 0.5 * 10.0 * jnp.sum(Qd * x * x, axis=0)
 
     return System("quadrotor", 12, 4, dt, step, stage_cost, final_cost,
-                  separable_cost=True)
+                  separable_cost=True, batch_polymorphic=True)
 
 
 SYSTEMS = {

@@ -97,6 +97,90 @@ def linearize(system: System, xs, us):
     return A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T
 
 
+def linearize_soa(system: System, xs, us):
+    """Batched linearization in batch-minor SoA layout.
+
+    Same outputs as ``vmap(linearize)`` — batch-leading (Bb, H, ...) arrays
+    — but computed with the (time x scenario) product as the minor axes:
+    every point is independent, so Jacobian/Hessian columns come from nx+nu
+    ``jvp`` seed directions evaluated over ALL (H, Bb) points at once
+    (forward-over-reverse for the Hessians), instead of per-scenario
+    ``jacfwd``/``hessian`` structures with the tiny state dim minor.
+    Requires ``system.batch_polymorphic``.
+    """
+    nx, nu = system.nx, system.nu
+    dtype = xs.dtype
+    # (Bb, H, n) -> (n, H, Bb)
+    x_st = jnp.transpose(xs[:, :-1, :], (2, 1, 0))
+    u_st = jnp.transpose(us, (2, 1, 0))
+    xT = jnp.transpose(xs[:, -1, :], (1, 0))  # (nx, Bb)
+
+    def seed(n, i, template):
+        e = jnp.zeros((n,) + (1,) * (template.ndim - 1), dtype)
+        return jnp.broadcast_to(e.at[i].set(1.0), template.shape)
+
+    # Dynamics Jacobians: column i of A is d step / d x_i at every point.
+    A_cols = [
+        jax.jvp(lambda x: system.step(x, u_st), (x_st,), (seed(nx, i, x_st),))[1]
+        for i in range(nx)
+    ]
+    B_cols = [
+        jax.jvp(lambda u: system.step(x_st, u), (u_st,), (seed(nu, j, u_st),))[1]
+        for j in range(nu)
+    ]
+    A = jnp.stack(A_cols, axis=1)  # (nx, nx, H, Bb)
+    B = jnp.stack(B_cols, axis=1)  # (nx, nu, H, Bb)
+
+    # Cost gradients: stage cost is separable across points, so the grad of
+    # the summed cost IS the per-point gradient stack.
+    def csum(x, u):
+        return jnp.sum(system.stage_cost(x, u))
+
+    grad_c = jax.grad(csum, argnums=(0, 1))
+    lx, lu = grad_c(x_st, u_st)  # (nx, H, Bb), (nu, H, Bb)
+
+    # Hessian columns: forward-over-reverse jvp of the gradient.
+    lxx_cols, lux_cols = [], []
+    for i in range(nx):
+        (_, _), (dgx, dgu) = jax.jvp(
+            lambda x: grad_c(x, u_st), (x_st,), (seed(nx, i, x_st),)
+        )
+        lxx_cols.append(dgx)  # (nx, H, Bb) = lxx[:, i]
+        lux_cols.append(dgu)  # (nu, H, Bb) = lux[:, i]
+    luu_cols = [
+        jax.jvp(lambda u: grad_c(x_st, u), (u_st,), (seed(nu, j, u_st),))[1][1]
+        for j in range(nu)
+    ]
+    lxx = jnp.stack(lxx_cols, axis=1)  # (nx, nx, H, Bb)
+    lux = jnp.stack(lux_cols, axis=1)  # (nu, nx, H, Bb)
+    luu = jnp.stack(luu_cols, axis=1)  # (nu, nu, H, Bb)
+
+    # Terminal value expansion at xs[:, -1].
+    def fsum(x):
+        return jnp.sum(system.final_cost(x))
+
+    Vx_T = jax.grad(fsum)(xT)  # (nx, Bb)
+    VxxT_cols = [
+        jax.jvp(jax.grad(fsum), (xT,), (seed(nx, i, xT),))[1] for i in range(nx)
+    ]
+    Vxx_T = jnp.stack(VxxT_cols, axis=1)  # (nx, nx, Bb)
+
+    # Back to the batch-leading interface shared with vmap(linearize).
+    m4 = lambda a: jnp.transpose(a, (3, 2, 0, 1))  # (n,m,H,Bb)->(Bb,H,n,m)
+    m3 = lambda a: jnp.transpose(a, (2, 1, 0))  # (n,H,Bb)->(Bb,H,n)
+    return (
+        m4(A),
+        m4(B),
+        m3(lx),
+        m3(lu),
+        m4(lxx),
+        m4(luu),
+        m4(lux),
+        jnp.transpose(Vx_T, (1, 0)),
+        jnp.transpose(Vxx_T, (2, 0, 1)),
+    )
+
+
 def _gershgorin_shift(H, eps):
     """Shift H by max(0, -Gershgorin lower bound) + eps so it is PD.
 
@@ -386,6 +470,61 @@ def forward_linesearch(system: System, xs, us, ks, Ks, alphas):
     )
 
 
+def forward_linesearch_soa(system: System, xs, us, ks, Ks, alphas):
+    """Batched closed-loop line search in batch-minor SoA layout.
+
+    Same semantics as ``vmap(forward_linesearch)`` over a scenario batch,
+    but states are carried as ``(nx, n_alpha, Bb)`` stacks so every VPU op
+    runs 128-lane-wide over scenarios (requires
+    ``system.batch_polymorphic``; see ops/soa.py for the layout argument).
+    Inputs/outputs are batch-leading: xs (Bb, H+1, nx), us (Bb, H, nu),
+    ks (Bb, H, nu), Ks (Bb, H, nu, nx).
+    """
+    nA = len(alphas)
+    alphas = jnp.asarray(alphas, dtype=us.dtype)  # (nA,)
+    # (Bb, H, ...) -> (H, ..., Bb): one boundary transpose each.
+    xs_, us_, ks_, Ks_ = (jnp.moveaxis(a, 0, -1) for a in (xs, us, ks, Ks))
+    al = alphas[:, None]  # (nA, 1) broadcasts against (nA, Bb)
+
+    x0 = jnp.broadcast_to(
+        xs_[0][:, None, :], (xs_.shape[1], nA, xs_.shape[2])
+    )  # (nx, nA, Bb)
+
+    def body(carry, inp):
+        x, cost = carry
+        x_ref, u_ref, k_t, K_t = inp  # (nx,Bb), (nu,Bb), (nu,Bb), (nu,nx,Bb)
+        dx = x - x_ref[:, None, :]  # (nx, nA, Bb)
+        # u = u_ref + alpha*k + K @ dx, all (nu, nA, Bb)
+        u = jnp.stack(
+            [
+                u_ref[i][None, :]
+                + al * k_t[i][None, :]
+                + sum(K_t[i, j][None, :] * dx[j] for j in range(dx.shape[0]))
+                for i in range(u_ref.shape[0])
+            ]
+        )
+        cost = cost + system.stage_cost(x, u)  # (nA, Bb)
+        xn = system.step(x, u)
+        return (xn, cost), (xn, u)
+
+    (x_fin, run_cost), (xs_tail, us_new) = jax.lax.scan(
+        body, (x0, jnp.zeros((nA, xs.shape[0]), xs.dtype)),
+        (xs_[:-1], us_, ks_, Ks_),
+    )
+    costs = run_cost + system.final_cost(x_fin)  # (nA, Bb)
+    best = jnp.argmin(costs, axis=0)  # (Bb,)
+
+    def pick(stacked):  # (H, d, nA, Bb) -> (Bb, H, d)
+        g = jnp.take_along_axis(stacked, best[None, None, None, :], axis=2)
+        return jnp.moveaxis(g[:, :, 0, :], -1, 0)
+
+    xs_best = pick(xs_tail)
+    us_best = pick(us_new)
+    xs_new = jnp.concatenate([xs[:, :1], xs_best], axis=1)
+    cost_best = jnp.take_along_axis(costs, best[None, :], axis=0)[0]
+    return xs_new, us_best, cost_best
+
+
 def solve(
     system: System,
     x0,
@@ -460,12 +599,20 @@ def solve_batched(
 
     rollout_b = jax.vmap(lambda x0, us: rollout(system.step, x0, us))
     cost_b = jax.vmap(lambda xs, us: trajectory_cost(system, xs, us))
-    lin_b = jax.vmap(lambda xs, us: linearize(system, xs, us))
-    fwd_b = jax.vmap(
-        lambda xs, us, ks, Ks: forward_linesearch(
+    if system.batch_polymorphic:
+        lin_b = lambda xs, us: linearize_soa(system, xs, us)
+    else:
+        lin_b = jax.vmap(lambda xs, us: linearize(system, xs, us))
+    if system.batch_polymorphic:
+        fwd_b = lambda xs, us, ks, Ks: forward_linesearch_soa(
             system, xs, us, ks, Ks, config.alphas
         )
-    )
+    else:
+        fwd_b = jax.vmap(
+            lambda xs, us, ks, Ks: forward_linesearch(
+                system, xs, us, ks, Ks, config.alphas
+            )
+        )
 
     xs0 = rollout_b(x0_batch, us_init_batch)
     cost0 = cost_b(xs0, us_init_batch)

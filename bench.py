@@ -193,6 +193,37 @@ def bench_pow(n=1000):
     return {"time_s": t, "vs_ref_1000": (934838e-9 / t) if n == 1000 else None}
 
 
+def bench_matmul(n=2048, dtype="bfloat16"):
+    """MXU matmul TF/s through the public ``sm.dot`` path (auto-routed to
+    the Pallas kernel for bf16, XLA dot for f32 — ops/matmul.py)."""
+    import simplemath_tpu as sm
+
+    dt = jnp.dtype(dtype)
+    scale = np.float32(1.0 / n)
+
+    def build_run(L):
+        def run(a, b):
+            def body(i, acc):
+                return (sm.dot(sm.Array(acc), sm.Array(b)).jax() * scale).astype(dt)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
+    def make_args(i):
+        k = jax.random.PRNGKey(i)
+        ka, kb = jax.random.split(k)
+        return (
+            jax.random.normal(ka, (n, n), dt),
+            jax.random.normal(kb, (n, n), dt),
+        )
+
+    t = _per_iter_time(build_run, make_args, 64, 448)
+    tflops = 2 * n**3 / t / 1e12
+    peak = 197.0  # v5e MXU peak (bf16) TF/s
+    return {"time_s": t, "TFLOPs": tflops, "mxu_peak_fraction": tflops / peak}
+
+
 def _ilqr_bench(system, batch, horizon, iters):
     from simplemath_tpu.models import ILQRConfig
     from simplemath_tpu.models.ilqr import solve_batched
@@ -300,6 +331,14 @@ def main():
                 ),
             ),
             ("pow_1000", lambda: bench_pow(100 if args.quick else 1000)),
+            (
+                "matmul_bf16",
+                lambda: bench_matmul(512 if args.quick else 2048, "bfloat16"),
+            ),
+            (
+                "matmul_f32",
+                lambda: bench_matmul(512 if args.quick else 2048, "float32"),
+            ),
             ("pendulum", lambda: bench_pendulum(quick=args.quick)),
             ("quadrotor_replan", lambda: bench_quadrotor_replan()),
         ]:

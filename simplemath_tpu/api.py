@@ -145,7 +145,12 @@ cumsum = _wrap1(jnp.cumsum)
 sort = _wrap1(jnp.sort)
 maximum = _wrap2(jnp.maximum)
 minimum = _wrap2(jnp.minimum)
-matmul = _wrap2(jnp.matmul)
+
+
+def matmul(a, b) -> Array:
+    """``numpy.matmul`` semantics; large float (batched) matrix products
+    route to the Pallas MXU kernels (ops/matmul.py)."""
+    return engine.matmul(a, b)
 
 
 def where(cond, x, y) -> Array:

@@ -350,14 +350,34 @@ class Array:
         return id(self)
 
     # --------------------------------------------------------- reductions
+    def _full_reduce(self, kind: str, axis, keepdims, jnp_fn):
+        """Full float reductions route to the Pallas tiled reduction kernel
+        on TPU above the size gate (the reference's reduction IS its public
+        operator path, include/math/product.h:8-224); axis/int/f64
+        reductions take XLA's native reduce."""
+        buf = self.jax()
+        if axis is None and not keepdims:
+            from .ops import engine, reduction
+
+            if (
+                jnp.issubdtype(buf.dtype, jnp.floating)
+                and buf.dtype != jnp.dtype(jnp.float64)
+                and buf.size > 0
+                and engine.pallas_wanted(buf.shape)
+            ):
+                # f32 in-kernel accumulation; result dtype matches jnp's
+                # (input dtype for float reductions).
+                return Array(reduction.pallas_reduce(buf, kind).astype(buf.dtype))
+        return Array(jnp_fn(buf, axis=axis, keepdims=keepdims))
+
     def sum(self, axis=None, keepdims=False) -> Union["Array", Any]:
-        return Array(jnp.sum(self.jax(), axis=axis, keepdims=keepdims))
+        return self._full_reduce("sum", axis, keepdims, jnp.sum)
 
     def max(self, axis=None, keepdims=False):
-        return Array(jnp.max(self.jax(), axis=axis, keepdims=keepdims))
+        return self._full_reduce("max", axis, keepdims, jnp.max)
 
     def min(self, axis=None, keepdims=False):
-        return Array(jnp.min(self.jax(), axis=axis, keepdims=keepdims))
+        return self._full_reduce("min", axis, keepdims, jnp.min)
 
     def mean(self, axis=None, keepdims=False):
         return Array(jnp.mean(self.jax(), axis=axis, keepdims=keepdims))

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
 from .. import dtypes as _dtypes
+from . import dispatch
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -149,13 +150,39 @@ def _build_call(
     return call
 
 
+# Strong-ref registry of tile functions, keyed by id(fn).  Holding the
+# reference guarantees an id in ``_build_call``'s cache can never be recycled
+# by a different function (CPython reuses addresses of collected objects).
+# Callers must pass STABLE callables (module-level functions, registry Op
+# tile fns, or lru-cached closures — see transcendental._unary_tile) so
+# repeated calls of the same op hit the same cache entry instead of growing
+# the registry; the cap below is a safety net for misbehaving callers: when
+# hit, the registry AND the build cache are cleared together (keeping them
+# in sync preserves the no-stale-id invariant).
 _TILE_FNS: dict[int, Callable] = {}
+_TILE_FN_CAP = 512
 
 
 def _tile_fn_id(fn: Callable) -> int:
     fid = id(fn)
-    _TILE_FNS[fid] = fn
+    if fid not in _TILE_FNS:
+        if len(_TILE_FNS) >= _TILE_FN_CAP:
+            _TILE_FNS.clear()
+            _build_call.cache_clear()
+            fid = id(fn)
+        _TILE_FNS[fid] = fn
     return fid
+
+
+def tile_registry_size() -> int:
+    """Number of live tile functions (tests assert it stays constant across
+    repeated calls of the same op)."""
+    return len(_TILE_FNS)
+
+
+def build_cache_info():
+    """lru_cache stats of the kernel-build cache (tests assert hits)."""
+    return _build_call.cache_info()
 
 
 def pallas_elementwise(
@@ -187,6 +214,7 @@ def pallas_elementwise(
         ps = _pad_shape(jnp.shape(o), nd)
         padded.append(jnp.reshape(o, ps))
     in_shapes = tuple(tuple(int(x) for x in p.shape) for p in padded)
+    dispatch.record("elementwise", name)
     call = _build_call(
         name,
         _tile_fn_id(tile_fn),

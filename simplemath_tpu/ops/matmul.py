@@ -1,15 +1,23 @@
-"""Pallas MXU matmul kernel.
+"""Pallas MXU matmul kernels (2-D and batched rank-3).
 
 The reference's reduction engine is ``dot_product`` — flat SIMD multiply-add
 loops per dtype (include/math/product.h:8-224, single vector accumulator, no
 FMA).  The TPU-native equivalent keeps the FLOPs on the 128x128 MXU systolic
 array: a VMEM-tiled matmul with a float32 accumulator scratch, K-innermost
 grid iteration so each output tile accumulates across K-steps while the
-Mosaic pipeline double-buffers the A/B tiles from HBM.
+Mosaic pipeline double-buffers the A/B tiles from HBM.  Rank-3 inputs get a
+leading batch grid dimension (block extent 1 per step) — the batched
+(B, M, K) x (B, K, N) contractions of the solver layer.
 
-Used by ``engine.dot`` for large 2-D float matmuls on TPU; everything else
-(small, N-D, complex, f64) lowers through ``lax.dot_general``, which is
-already MXU-optimal for those cases.
+Precision: ``precision="default"`` matches ``jnp.dot``'s platform-default
+contract — on TPU, f32 operands are truncated to bf16 before hitting the
+MXU (XLA's DEFAULT f32 dot does the same single-pass truncation, which is
+why it runs at bf16 speed); ``precision="highest"`` keeps true f32 passes.
+Off-TPU (interpret mode) both are exact f32.
+
+Used by ``engine.dot`` for large float matmuls on TPU; everything else
+(small, higher-rank, complex, f64) lowers through ``lax.dot_general``, which
+is already MXU-optimal for those cases.
 """
 
 from __future__ import annotations
@@ -22,24 +30,45 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
+from . import dispatch
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _matmul_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int):
+def _matmul_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    acc_ref[...] += jnp.dot(
-        a_ref[...], b_ref[...], preferred_element_type=jnp.float32
-    )
+    a = a_ref[...]
+    b = b_ref[...]
+    if trunc:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(2) == k_steps - 1)
     def _store():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _bmm_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool):
+    @pl.when(pl.program_id(3) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    a = a_ref[0]
+    b = b_ref[0]
+    if trunc:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    acc_ref[...] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(3) == k_steps - 1)
+    def _store():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.lru_cache(maxsize=128)
@@ -54,10 +83,11 @@ def _build_matmul(
     bk: int,
     bn: int,
     interpret: bool,
+    trunc: bool,
 ):
     k_steps = _cdiv(K, bk)
     grid = (_cdiv(M, bm), _cdiv(N, bn), k_steps)
-    kernel = functools.partial(_matmul_kernel, k_steps=k_steps)
+    kernel = functools.partial(_matmul_kernel, k_steps=k_steps, trunc=trunc)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -86,62 +116,157 @@ def _build_matmul(
     )
 
 
+@functools.lru_cache(maxsize=128)
+def _build_bmm(
+    B: int,
+    M: int,
+    K: int,
+    N: int,
+    dtype_a,
+    dtype_b,
+    out_dtype,
+    bm: int,
+    bk: int,
+    bn: int,
+    interpret: bool,
+    trunc: bool,
+):
+    k_steps = _cdiv(K, bk)
+    grid = (B, _cdiv(M, bm), _cdiv(N, bn), k_steps)
+    kernel = functools.partial(_bmm_kernel, k_steps=k_steps, trunc=trunc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, M, N), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bm, bk), lambda b, i, j, k: (b, i, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bk, bn), lambda b, i, j, k: (b, k, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bm, bn), lambda b, i, j, k: (b, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * M * N * K,
+            bytes_accessed=B
+            * (
+                (M * K + K * N) * jnp.dtype(dtype_a).itemsize
+                + M * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
 # Tuned on v5e at 2048^3 with steady-state (loop-differenced) timing:
 # bf16 (1024, 2048, 1024) reaches 192 TF/s (97% of the 197 TF/s MXU peak,
-# ahead of XLA dot's 180); f32 (512, 2048, 512) reaches ~145 TF/s (XLA's
-# f32 dot wins at ~186 under --xla_allow_excess_precision, so engine.dot
-# routes f32 there by default).
+# ahead of XLA dot's 180); f32 with precision="default" rides the same
+# bf16 MXU path (XLA's DEFAULT f32 dot also truncates — its ~186 TF/s IS
+# bf16 speed); f32 precision="highest" (512, 2048, 512) reaches ~145 TF/s.
 _DEFAULT_BLOCKS = {
     jnp.dtype(jnp.bfloat16): (1024, 2048, 1024),
     jnp.dtype(jnp.float32): (512, 2048, 512),
 }
+# f32 operands truncated in-kernel behave like bf16 for MXU tiling.
+_TRUNC_BLOCKS = (1024, 2048, 1024)
 
 
-def pallas_matmul(a, b, out_dtype=None, block_m=None, block_k=None, block_n=None):
-    """2-D matmul on the MXU via Pallas; f32/bf16 inputs.
+def _trunc_f32(a_dtype, precision: str, interpret: bool) -> bool:
+    """Whether to truncate f32 operands to bf16 in-kernel: only under the
+    platform-default contract, only on real TPU (interpret = exact f32)."""
+    return (
+        precision == "default"
+        and jnp.dtype(a_dtype) == jnp.dtype(jnp.float32)
+        and not interpret
+    )
+
+
+def pallas_matmul(
+    a,
+    b,
+    out_dtype=None,
+    block_m=None,
+    block_k=None,
+    block_n=None,
+    precision: str = "default",
+):
+    """Matmul on the MXU via Pallas; f32/bf16 inputs, rank-2 or rank-3
+    (leading batch) operands.
 
     Dimensions are zero-padded up to block multiples (padding contributes
     exact zeros to the accumulation); the output is sliced back.  Default
     block sizes are per-dtype tuned (see _DEFAULT_BLOCKS)."""
-    M, K = a.shape
-    K2, N = b.shape
-    assert K == K2, (a.shape, b.shape)
+    batched = a.ndim == 3
+    if batched:
+        B, M, K = a.shape
+        B2, K2, N = b.shape
+        assert B == B2 and K == K2, (a.shape, b.shape)
+    else:
+        M, K = a.shape
+        K2, N = b.shape
+        assert K == K2, (a.shape, b.shape)
     out_dtype = out_dtype or jnp.result_type(a, b)
-    dbm, dbk, dbn = _DEFAULT_BLOCKS.get(
-        jnp.dtype(a.dtype), _DEFAULT_BLOCKS[jnp.dtype(jnp.float32)]
-    )
+    interpret = config.interpret_mode()
+    trunc = _trunc_f32(a.dtype, precision, interpret)
+    if trunc:
+        dbm, dbk, dbn = _TRUNC_BLOCKS
+    else:
+        dbm, dbk, dbn = _DEFAULT_BLOCKS.get(
+            jnp.dtype(a.dtype), _DEFAULT_BLOCKS[jnp.dtype(jnp.float32)]
+        )
     bm = min(block_m or dbm, M)
     bk = min(block_k or dbk, K)
     bn = min(block_n or dbn, N)
     Mp, Kp, Np = (_cdiv(M, bm) * bm, _cdiv(K, bk) * bk, _cdiv(N, bn) * bn)
+    pad_a = [(0, Mp - M), (0, Kp - K)]
+    pad_b = [(0, Kp - K), (0, Np - N)]
+    if batched:
+        pad_a = [(0, 0)] + pad_a
+        pad_b = [(0, 0)] + pad_b
     if (Mp, Kp) != (M, K):
-        a = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
+        a = jnp.pad(a, pad_a)
     if (Kp, Np) != (K, N):
-        b = jnp.pad(b, ((0, Kp - K), (0, Np - N)))
-    call = _build_matmul(
-        Mp,
-        Kp,
-        Np,
-        jnp.dtype(a.dtype),
-        jnp.dtype(b.dtype),
-        jnp.dtype(out_dtype),
-        bm,
-        bk,
-        bn,
-        config.interpret_mode(),
-    )
+        b = jnp.pad(b, pad_b)
+    dispatch.record("matmul", "bmm" if batched else "mm")
+    if batched:
+        call = _build_bmm(
+            B, Mp, Kp, Np,
+            jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
+            bm, bk, bn, interpret, trunc,
+        )
+    else:
+        call = _build_matmul(
+            Mp, Kp, Np,
+            jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
+            bm, bk, bn, interpret, trunc,
+        )
     out = call(a, b)
     if (Mp, Np) != (M, N):
-        out = out[:M, :N]
+        out = out[..., :M, :N]
     return out
 
 
 def supported(a_shape, b_shape, dtype) -> bool:
-    if len(a_shape) != 2 or len(b_shape) != 2:
-        return False
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
-    M, K = a_shape
-    _, N = b_shape
+    if len(a_shape) == 3 and len(b_shape) == 3:
+        if a_shape[0] != b_shape[0]:
+            return False
+        _, M, K = a_shape
+        _, _, N = b_shape
+    elif len(a_shape) == 2 and len(b_shape) == 2:
+        M, K = a_shape
+        _, N = b_shape
+    else:
+        return False
     # Worth a custom kernel only at sizes where tiling matters.
     return M >= 256 and N >= 256 and K >= 256

@@ -75,6 +75,9 @@ def _to_2d(x, lanes=1024):
 
 def pallas_reduce(x, kind: str = "sum", block_rows: int = 512):
     """Full reduction of ``x`` to a scalar (f32 accumulation)."""
+    from . import dispatch
+
+    dispatch.record("reduce", kind)
     _, _, init = _REDUCERS[kind]
     flat, rows, cols, pad = _to_2d(x)
     br = min(block_rows, rows)
@@ -127,6 +130,9 @@ def _build_dot1d(n_rows, n_cols, block_rows, interpret):
 def pallas_dot1d(a, b, block_rows: int = 512):
     """1-D dot product fused multiply+reduce — the working TPU version of
     the reference's ``dot_product`` SIMD loops (product.h:74-116)."""
+    from . import dispatch
+
+    dispatch.record("dot1d")
     assert a.ndim == 1 and a.shape == b.shape
     fa, rows, cols, _ = _to_2d(a)
     fb = jnp.ravel(b)

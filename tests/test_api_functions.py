@@ -8,9 +8,13 @@ import simplemath_tpu as sm
 def test_unary_functions(rng):
     x = rng.normal(size=(4, 5)).astype(np.float32)
     a = sm.Array(x)
-    np.testing.assert_allclose(sm.sin(a).numpy(), np.sin(x), rtol=1e-6)
-    np.testing.assert_allclose(sm.cos(a).numpy(), np.cos(x), rtol=1e-6)
-    np.testing.assert_allclose(sm.tanh(a).numpy(), np.tanh(x), rtol=1e-6)
+    # sin/cos/tanh lower to the platform's native f32 approximations; the
+    # TPU VPU versions are good to ~4e-5 relative (a few bf16-grade ulps),
+    # tighter on CPU.  These assert API surface, not our kernels (exp/log/
+    # pow accuracy is pinned down in test_transcendental.py).
+    np.testing.assert_allclose(sm.sin(a).numpy(), np.sin(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sm.cos(a).numpy(), np.cos(x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sm.tanh(a).numpy(), np.tanh(x), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(sm.abs(a).numpy(), np.abs(x), rtol=1e-6)
     np.testing.assert_allclose(sm.square(a).numpy(), x * x, rtol=1e-6)
     np.testing.assert_allclose(

@@ -10,5 +10,16 @@ python -m simplemath_tpu.native.build || echo "native build skipped (toolchain u
 echo "== unit + distributed tests (CPU backend, 8 virtual devices) =="
 python -m pytest tests/ -q
 
+if python -c 'import jax, sys; sys.exit(0 if jax.default_backend() == "tpu" else 1)' 2>/dev/null; then
+    echo "== TPU-backend suite (real Mosaic lowering, non-interpret Pallas) =="
+    # The reference runs its tests on the ISA it ships for
+    # (.github/workflows/cmake-single-platform.yml:34-38); the analog here is
+    # the full suite against the real chip.  SM_TEST_BACKEND=tpu disables the
+    # conftest CPU pin; kernels compile through Mosaic instead of interpret.
+    SM_TEST_BACKEND=tpu python -m pytest tests/ -q
+else
+    echo "== TPU-backend suite skipped (no TPU attached) =="
+fi
+
 echo "== quick benchmark smoke =="
 python bench.py --quick

@@ -38,9 +38,11 @@ class Config:
 
     # Minimum number of elements before the Pallas elementwise kernel is
     # preferred under "auto".  Analog of the OpenMP `if(n>100'000)` gate
-    # (include/math/calculate.h:47).
+    # (include/math/calculate.h:47).  Set to exactly 1M so the reference's
+    # million_check shape (1,000,000 floats, benchmark/add.cpp:21-29)
+    # exercises the framework kernel, not only the XLA fallback.
     pallas_min_elements: int = dataclasses.field(
-        default_factory=lambda: _env_int("SM_PALLAS_MIN_ELEMENTS", 1 << 20)
+        default_factory=lambda: _env_int("SM_PALLAS_MIN_ELEMENTS", 1_000_000)
     )
 
     # Elementwise kernel tile (sublane x lane multiples).  Analog of
@@ -56,6 +58,16 @@ class Config:
     # Force Pallas interpret mode (used on CPU test meshes).  None = auto
     # (interpret when the default backend is not TPU).
     pallas_interpret: Optional[bool] = None
+
+    # Debug-mode numerical guards (the sanitizer analog, SURVEY §5): when
+    # True, the no-pivot small-matrix inverses emit checkify checks on the
+    # finiteness of their results (they assume diagonally-dominant/PD
+    # inputs — ops/linalg_small.py).  Run the caller under
+    # jax.experimental.checkify.checkify (e.g. utils.debug.nan_guard) to
+    # surface the errors; adds ~one reduction per inverse.
+    debug_checks: bool = dataclasses.field(
+        default_factory=lambda: _env_str("SM_DEBUG_CHECKS", "") not in ("", "0")
+    )
 
     # Default mesh axis names for the distributed layer.
     data_axis: str = "scenario"

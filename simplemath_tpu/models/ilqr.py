@@ -446,6 +446,96 @@ def backward_associative(
     return ks, Ks
 
 
+def backward_associative_soa(
+    A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, return_values=False
+):
+    """Batched O(log H) Riccati backward pass in batch-minor (SoA) layout.
+
+    Same value-element formulation as :func:`backward_associative`, but over
+    a whole scenario batch at once: inputs are batch-leading ``(Bb, H, ...)``
+    arrays and ``reg`` is per-scenario ``(Bb,)``.  Elements are built as
+    ``(H+1, n, m, Bb)`` stacks — the soa ops index matrix dims from the
+    right, so the element construction needs no vmap and the
+    ``associative_scan`` combine maps over the time axis for free.  This
+    composes the two round-1 wins that previously excluded each other
+    (VERDICT item 7): the 128-lane batch-minor layout AND the O(log H)
+    horizon parallelism.
+    """
+    from ..ops import soa
+
+    nu = B.shape[-1]
+    nx = A.shape[-1]
+    tr0 = lambda x: jnp.moveaxis(x, 0, -1)  # batch-leading -> batch-minor
+    A_, B_, lxx_, luu_, lux_, lx_, lu_ = map(tr0, (A, B, lxx, luu, lux, lx, lu))
+    VxT_ = tr0(Vx_T)  # (nx, Bb)
+    VxxT_ = tr0(Vxx_T)  # (nx, nx, Bb)
+    reg = jnp.asarray(reg, A.dtype)  # (Bb,) or scalar
+    eye_u = soa.eye_like(nu, B_)
+    eye_x = soa.eye_like(nx, A_)
+    Bb = A_.shape[-1]
+
+    # Per-step elements over the whole horizon at once (leading H axis).
+    Ru = luu_ + reg * eye_u
+    Ru_inv = soa.inv(Ru)
+    Ru_inv_lux = soa.matmul(Ru_inv, lux_)
+    Ru_inv_lu = soa.matvec(Ru_inv, lu_)
+    Ru_inv_Bt = soa.matmul(Ru_inv, soa.transpose(B_))
+    luxT = soa.transpose(lux_)
+    F = A_ - soa.matmul(B_, Ru_inv_lux)  # (H, nx, nx, Bb)
+    c = -soa.matvec(B_, Ru_inv_lu)  # (H, nx, Bb)
+    C = soa.matmul(B_, Ru_inv_Bt)  # (H, nx, nx, Bb)
+    J = lxx_ - soa.matmul(luxT, Ru_inv_lux)
+    eta = -(lx_ - soa.matvec(luxT, Ru_inv_lu))
+
+    zmat = jnp.zeros((1, nx, nx, Bb), A.dtype)
+    zvec = jnp.zeros((1, nx, Bb), A.dtype)
+    full = (
+        jnp.concatenate([F, zmat], axis=0),
+        jnp.concatenate([c, zvec], axis=0),
+        jnp.concatenate([C, zmat], axis=0),
+        jnp.concatenate([eta, -VxT_[None]], axis=0),
+        jnp.concatenate([J, VxxT_[None]], axis=0),
+    )
+
+    def combine(elem_i, elem_j):
+        # elem_i earlier in time, elem_j the later suffix; arrays carry a
+        # leading scan axis which the right-indexed soa ops pass through.
+        Fi, ci, Ci, etai, Ji = elem_i
+        Fj, cj, Cj, etaj, Jj = elem_j
+        M = soa.inv(eye_x + soa.matmul(Ci, Jj))
+        N = soa.inv(eye_x + soa.matmul(Jj, Ci))
+        FjM = soa.matmul(Fj, M)
+        FiTN = soa.matmul(soa.transpose(Fi), N)
+        F = soa.matmul(FjM, Fi)
+        c = soa.matvec(FjM, ci + soa.matvec(Ci, etaj)) + cj
+        C = soa.matmul(FjM, soa.matmul(Ci, soa.transpose(Fj))) + Cj
+        eta = soa.matvec(FiTN, etaj - soa.matvec(Jj, ci)) + etai
+        J = soa.matmul(FiTN, soa.matmul(Jj, Fi)) + Ji
+        return F, c, C, eta, J
+
+    rev = jax.tree.map(lambda x: jnp.flip(x, axis=0), full)
+    scanned = jax.lax.associative_scan(lambda a, b: combine(b, a), rev, axis=0)
+    suffix = jax.tree.map(lambda x: jnp.flip(x, axis=0), scanned)
+
+    Vx_all = -suffix[3]  # (H+1, nx, Bb)
+    Vxx_all = suffix[4]  # (H+1, nx, nx, Bb)
+
+    # Per-step gains from the step-(k+1) value, vectorized over H.
+    Vx1, Vxx1 = Vx_all[1:], Vxx_all[1:]
+    Bt = soa.transpose(B_)
+    Qu = lu_ + soa.matvec(Bt, Vx1)
+    Quu = luu_ + soa.matmul(Bt, soa.matmul(Vxx1, B_)) + reg * eye_u
+    Qux = lux_ + soa.matmul(Bt, soa.matmul(Vxx1, A_))
+    Quu_inv = soa.inv(Quu)
+    ks = -soa.matvec(Quu_inv, Qu)
+    Ks = -soa.matmul(Quu_inv, Qux)
+
+    back = lambda x: jnp.moveaxis(x, -1, 0)  # batch-minor -> batch-leading
+    if return_values:
+        return back(ks), back(Ks), back(Vx_all), back(Vxx_all)
+    return back(ks), back(Ks)
+
+
 def forward_linesearch(system: System, xs, us, ks, Ks, alphas):
     """Closed-loop rollouts at every alpha in parallel; returns best."""
     alphas = jnp.asarray(alphas, dtype=us.dtype)
@@ -587,15 +677,17 @@ def solve_batched(
 
     Rollout/linearize/line-search stages vmap over scenarios (their hot
     loops are already wide).  The Riccati backward pass — the dominant cost
-    at scale — runs in batch-minor SoA layout instead
-    (:func:`backward_sequential_soa`); the ``associative`` backward keeps
-    the vmapped path (its element tuples are built for `associative_scan`).
-    Semantics match ``vmap(solve)`` exactly up to f32 summation order.
+    at scale — runs in batch-minor SoA layout
+    (:func:`backward_sequential_soa`, or :func:`backward_associative_soa`
+    for ``backward="associative"``, which adds O(log H) horizon parallelism
+    on top of the 128-lane batch layout).  Semantics match ``vmap(solve)``
+    exactly up to f32 summation order.
     """
-    if config.backward == "associative":
-        return jax.vmap(lambda x0, us: solve(system, x0, us, config))(
-            x0_batch, us_init_batch
-        )
+    backward_b = (
+        backward_associative_soa
+        if config.backward == "associative"
+        else backward_sequential_soa
+    )
 
     rollout_b = jax.vmap(lambda x0, us: rollout(system.step, x0, us))
     cost_b = jax.vmap(lambda xs, us: trajectory_cost(system, xs, us))
@@ -626,9 +718,7 @@ def solve_batched(
         lxx, luu, lux, Vxx_T = psd_cost_hessians(
             lxx, luu, lux, Vxx_T, psd_mode, config.psd_eps
         )
-        ks, Ks = backward_sequential_soa(
-            A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg
-        )
+        ks, Ks = backward_b(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg)
         xs_new, us_new, cost_new = fwd_b(xs, us, ks, Ks)
         improved = jnp.isfinite(cost_new) & (cost_new < cost)
         xs = jnp.where(improved[:, None, None], xs_new, xs)

@@ -52,6 +52,9 @@ def _use_pallas(op, out_shape, in_dtypes, out_dtype) -> bool:
 
 
 def binary(name: str, a: Any, b: Any) -> Array:
+    from . import dispatch
+
+    dispatch.record("engine", name)
     op = registry.get_op(name)
     av, bv = as_jax(a), as_jax(b)
     a_shape = jnp.shape(av)
@@ -75,6 +78,9 @@ def binary(name: str, a: Any, b: Any) -> Array:
 
 
 def unary(name: str, a: Any) -> Array:
+    from . import dispatch
+
+    dispatch.record("engine", name)
     op = registry.get_op(name)
     av = as_jax(a)
     out_dtype = jnp.result_type(av)
@@ -218,11 +224,33 @@ def dot(a: Any, b: Any):
             # "auto" takes it on TPU above the size gate, not only when
             # forced (round-1 VERDICT item 3).
             return Array(reduction.pallas_dot1d(av, bv).astype(out_dtype))
+    preferred, prec = _fallback_precision(av.shape, bv.shape, out_dtype)
+    out = jnp.dot(av, bv, preferred_element_type=preferred, precision=prec)
+    return Array(out)
+
+
+def _fallback_precision(a_shape, b_shape, out_dtype):
+    """(preferred_element_type, precision) for the jnp matmul fallback.
+
+    The reference's dot is exact f32 SIMD (product.h:74-116); TPU's DEFAULT
+    f32 matmul truncates operands to bf16.  Contract here: BELOW the kernel
+    size gate (small/odd-rank contractions — latency-bound, extra MXU
+    passes are free) f32 runs at HIGHEST precision, i.e. reference-exact;
+    above the gate the MXU kernels take over at platform-default precision
+    (documented divergence for speed, same as jnp.dot's default)."""
+    from . import matmul as _mm
+
     preferred = None
     if jnp.issubdtype(out_dtype, jnp.floating):
         preferred = jnp.promote_types(out_dtype, jnp.float32)
-    out = jnp.dot(av, bv, preferred_element_type=preferred)
-    return Array(out)
+    prec = None
+    if (
+        jnp.dtype(out_dtype) == jnp.dtype(jnp.float32)
+        and jax.default_backend() == "tpu"
+        and not _mm.supported(a_shape, b_shape, out_dtype)
+    ):
+        prec = jax.lax.Precision.HIGHEST
+    return preferred, prec
 
 
 def matmul(a: Any, b: Any) -> Array:
@@ -243,7 +271,5 @@ def matmul(a: Any, b: Any) -> Array:
             and (backend == "pallas" or jax.default_backend() == "tpu")
         ):
             return Array(_mm.pallas_matmul(av, bv, out_dtype))
-    preferred = None
-    if jnp.issubdtype(out_dtype, jnp.floating):
-        preferred = jnp.promote_types(out_dtype, jnp.float32)
-    return Array(jnp.matmul(av, bv, preferred_element_type=preferred))
+    preferred, prec = _fallback_precision(av.shape, bv.shape, out_dtype)
+    return Array(jnp.matmul(av, bv, preferred_element_type=preferred, precision=prec))

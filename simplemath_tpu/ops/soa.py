@@ -41,77 +41,97 @@ def from_soa(x):
 
 
 def transpose(A):
-    """Matrix transpose of an (n, m, B) stack -> (m, n, B)."""
-    return jnp.swapaxes(A, 0, 1)
+    """Matrix transpose of a (..., n, m, B) stack -> (..., m, n, B).
+
+    All soa ops index the matrix axes from the RIGHT (batch last, matrix
+    dims at -3/-2), so they are polymorphic over arbitrary LEADING axes —
+    e.g. a time axis, which lets ``associative_scan`` map them over whole
+    horizons without vmap."""
+    return jnp.swapaxes(A, -3, -2)
 
 
 def matmul(A, C):
-    """(n, k, B) @ (k, m, B) -> (n, m, B), unrolled over the static dims."""
-    n, k = A.shape[0], A.shape[1]
-    m = C.shape[1]
+    """(..., n, k, B) @ (..., k, m, B) -> (..., n, m, B), unrolled over the
+    static matrix dims."""
+    n, k = A.shape[-3], A.shape[-2]
+    m = C.shape[-2]
     rows = []
     for i in range(n):
         cols = []
         for j in range(m):
-            acc = A[i, 0] * C[0, j]
+            acc = A[..., i, 0, :] * C[..., 0, j, :]
             for kk in range(1, k):
-                acc = acc + A[i, kk] * C[kk, j]
+                acc = acc + A[..., i, kk, :] * C[..., kk, j, :]
             cols.append(acc)
-        rows.append(jnp.stack(cols))
-    return jnp.stack(rows)
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
 
 
 def matvec(A, v):
-    """(n, k, B) @ (k, B) -> (n, B)."""
-    n, k = A.shape[0], A.shape[1]
+    """(..., n, k, B) @ (..., k, B) -> (..., n, B)."""
+    n, k = A.shape[-3], A.shape[-2]
     out = []
     for i in range(n):
-        acc = A[i, 0] * v[0]
+        acc = A[..., i, 0, :] * v[..., 0, :]
         for kk in range(1, k):
-            acc = acc + A[i, kk] * v[kk]
+            acc = acc + A[..., i, kk, :] * v[..., kk, :]
         out.append(acc)
-    return jnp.stack(out)
+    return jnp.stack(out, axis=-2)
 
 
 def outer(u, v):
-    """(n, B), (m, B) -> (n, m, B)."""
-    return u[:, None, :] * v[None, :, :]
+    """(..., n, B), (..., m, B) -> (..., n, m, B)."""
+    return u[..., :, None, :] * v[..., None, :, :]
 
 
 def eye_like(n: int, template):
-    """(n, n, 1) identity broadcastable against an (n, n, B) stack."""
+    """(n, n, 1) identity broadcastable against a (..., n, n, B) stack."""
     return jnp.eye(n, dtype=template.dtype)[..., None]
 
 
 def inv(A):
-    """Inverse of an (n, n, B) stack via unrolled Gauss-Jordan, no pivoting.
+    """Inverse of a (..., n, n, B) stack via unrolled Gauss-Jordan, no
+    pivoting.
 
     Same contract as ops.linalg_small.inv_unrolled (diagonally-dominant /
     PD inputs; see that module's docstring for why pivoted LU is unusable
     under TPU compilation), but in batch-minor layout.  n == 1 and n == 2
     specialize to closed forms."""
-    n = A.shape[0]
+    from .linalg_small import _debug_check_finite
+
+    n = A.shape[-3]
     if n == 1:
-        return 1.0 / A
+        out = 1.0 / A
+        _debug_check_finite(out, "soa.inv")
+        return out
     if n == 2:
-        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        det = A[..., 0, 0, :] * A[..., 1, 1, :] - A[..., 0, 1, :] * A[..., 1, 0, :]
         inv_det = 1.0 / det
-        row0 = jnp.stack([A[1, 1] * inv_det, -A[0, 1] * inv_det])
-        row1 = jnp.stack([-A[1, 0] * inv_det, A[0, 0] * inv_det])
-        return jnp.stack([row0, row1])
+        row0 = jnp.stack(
+            [A[..., 1, 1, :] * inv_det, -A[..., 0, 1, :] * inv_det], axis=-2
+        )
+        row1 = jnp.stack(
+            [-A[..., 1, 0, :] * inv_det, A[..., 0, 0, :] * inv_det], axis=-2
+        )
+        out = jnp.stack([row0, row1], axis=-3)
+        _debug_check_finite(out, "soa.inv")
+        return out
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype)[..., None], A.shape)
-    M = jnp.concatenate([A, eye], axis=1)  # (n, 2n, B)
+    M = jnp.concatenate([A, eye], axis=-2)  # (..., n, 2n, B)
     for i in range(n):
-        row = M[i] / M[i, i]  # (2n, B)
-        factor = M[:, i]  # (n, B)
-        M = M - factor[:, None, :] * row[None, :, :]
-        M = M.at[i].set(row)
-    return M[:, n:]
+        row = M[..., i, :, :] / M[..., i, i, :][..., None, :]  # (..., 2n, B)
+        factor = M[..., :, i, :]  # (..., n, B)
+        M = M - factor[..., :, None, :] * row[..., None, :, :]
+        M = M.at[..., i, :, :].set(row)
+    out = M[..., :, n:, :]
+    _debug_check_finite(out, "soa.inv")
+    return out
 
 
 def solve(A, b):
-    """Solve A x = b for an (n, n, B) stack; b is (n, B) or (n, m, B)."""
+    """Solve A x = b for a (..., n, n, B) stack; b is (..., n, B) or
+    (..., n, m, B)."""
     Ainv = inv(A)
-    if b.ndim == 2:
+    if b.ndim == A.ndim - 1:
         return matvec(Ainv, b)
     return matmul(Ainv, b)

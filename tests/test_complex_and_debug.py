@@ -55,3 +55,57 @@ def test_interpret_kernels_context():
     assert config.pallas_interpret is None or isinstance(
         config.pallas_interpret, bool
     )
+
+
+def test_debug_checks_guard_no_pivot_inverse():
+    """config.debug_checks surfaces singular/indefinite inputs to the
+    no-pivot inverses as checkify errors (round-1 VERDICT item 10)."""
+    from jax.experimental import checkify
+
+    from simplemath_tpu.config import config
+    from simplemath_tpu.ops import soa
+    from simplemath_tpu.ops.linalg_small import inv_unrolled
+
+    singular = jnp.asarray(
+        [[1.0, 2.0, 3.0], [2.0, 4.0, 6.0], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    old = config.debug_checks
+    config.debug_checks = True
+    try:
+        err, _ = checkify.checkify(inv_unrolled)(singular)
+        with pytest.raises(Exception, match="diagonally-dominant"):
+            err.throw()
+        err2, _ = checkify.checkify(soa.inv)(singular[..., None])
+        with pytest.raises(Exception, match="diagonally-dominant"):
+            err2.throw()
+        # Well-conditioned inputs pass clean.
+        ok = jnp.eye(3, dtype=jnp.float32) * 2.0
+        err3, out = checkify.checkify(inv_unrolled)(ok)
+        err3.throw()
+        np.testing.assert_allclose(np.asarray(out), np.eye(3) / 2.0, rtol=1e-6)
+    finally:
+        config.debug_checks = old
+
+
+def test_ilqr_psd_none_indefinite_quu_recovers():
+    """psd="none" with a nonconvex (indefinite-luu) cost: the no-pivot
+    Riccati solves go non-finite, the NaN-robust accept rejects every such
+    candidate, and the solve still returns a finite result (the documented
+    recovery path for the no-pivot contract)."""
+    import dataclasses as _dc
+
+    from simplemath_tpu.models import make_pendulum
+    from simplemath_tpu.models.ilqr import ILQRConfig, solve
+
+    base = make_pendulum()
+    # Concave-in-u stage cost => luu = -1 (indefinite) at every step.
+    system = _dc.replace(
+        base,
+        stage_cost=lambda x, u: 0.5 * ((x[0] - np.pi) ** 2 - u[0] ** 2),
+        separable_cost=False,
+    )
+    x0 = jnp.asarray([0.3, 0.0], jnp.float32)
+    us = jnp.zeros((20, 1), jnp.float32)
+    res = solve(system, x0, us, ILQRConfig(iterations=4, psd="none"))
+    assert np.isfinite(float(res.cost))
+    assert np.all(np.isfinite(np.asarray(res.us)))

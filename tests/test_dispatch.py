@@ -128,3 +128,19 @@ def test_matmul_2d_kernel(rng):
     out = sm.matmul(sm.Array(a), sm.Array(b))
     assert dispatch.count("matmul", "mm") == 1
     np.testing.assert_allclose(out.numpy(), a @ b, rtol=2e-5, atol=2e-5)
+
+
+def test_tile_registry_cap_eviction(monkeypatch, rng):
+    """When misbehaving callers flood the registry with fresh closures, the
+    cap clears registry + build cache together (no stale-id reuse) and
+    dispatch keeps working."""
+    monkeypatch.setattr(elementwise, "_TILE_FN_CAP", 2)
+    a = rng.normal(size=(8, 128)).astype(np.float32)
+    outs = []
+    fns = [lambda v, k=k: v + np.float32(k) for k in range(5)]
+    for k, fn in enumerate(fns):
+        out = elementwise.pallas_elementwise(fn, a.shape, np.float32, a, name=f"cap{k}")
+        outs.append(np.asarray(out))
+    for k in range(5):
+        np.testing.assert_allclose(outs[k], a + k, rtol=1e-6)
+    assert elementwise.tile_registry_size() <= 2

@@ -418,9 +418,12 @@ def bench_weak_scaling_cpu_proxy():
     child = (
         "import jax; jax.config.update('jax_platforms','cpu');\n"
         "import json\n"
-        "from simplemath_tpu.parallel.scaling import weak_scaling_report\n"
+        "from simplemath_tpu.parallel.scaling import ("
+        "weak_scaling_report, sharding_overhead_report)\n"
         "r = weak_scaling_report(per_device_batch=32, horizon=20,"
         " iterations=2, device_counts=(1,2,4,8))\n"
+        "r['sharding_overhead'] = sharding_overhead_report("
+        "total_batch=256, horizon=20, iterations=2)\n"
         "print('WSR ' + json.dumps(r))\n"
     )
     import os

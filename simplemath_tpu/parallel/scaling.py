@@ -81,4 +81,56 @@ def weak_scaling_report(
         "device_counts": counts,
         "times_s": times,
         "efficiency": eff,
+        # On virtual CPU devices the "devices" share physical cores, so
+        # weak-scaling efficiency is NOT meaningful there (n x the work on
+        # fixed silicon must slow down) — it validates the collective
+        # structure only.  Real efficiency requires real chips.
+        "efficiency_meaningful": jax.default_backend() != "cpu",
+    }
+
+
+def sharding_overhead_report(
+    total_batch: int = 256,
+    horizon: int = 40,
+    iterations: int = 3,
+    n_devices: int = None,
+    system_name: str = "cartpole",
+) -> Dict:
+    """Sharding-machinery overhead at CONSTANT total work: the same batch
+    solved unsharded on one device vs shard_map'd over n devices.  On the
+    virtual CPU mesh this IS meaningful (same silicon either way): a ratio
+    near/below 1.0 means the partitioning + collectives add no cost."""
+    system = _dyn.SYSTEMS[system_name]()
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if total_batch % n:
+        total_batch = (total_batch // n) * n
+    cfg = _ilqr.ILQRConfig(iterations=iterations)
+    x0s = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(0), (total_batch, system.nx), dtype=jnp.float32
+    )
+    us = jnp.zeros((total_batch, horizon, system.nu), jnp.float32)
+
+    plain = jax.jit(
+        lambda x, u: _ilqr.solve_batched(system, x, u, cfg).cost
+    )
+    jax.block_until_ready(plain(x0s, us))
+    import time as _t
+
+    ts = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        jax.block_until_ready(plain(x0s, us))
+        ts.append(_t.perf_counter() - t0)
+    t_plain = sorted(ts)[1]
+
+    mesh = make_mesh((n,), ("scenario",), devices=devs[:n])
+    step = _sharded.make_sharded_train_step(system, mesh, cfg, "scenario")
+    t_shard = _time_step(step, x0s, us)
+    return {
+        "total_batch": total_batch,
+        "n_devices": n,
+        "unsharded_s": t_plain,
+        "sharded_s": t_shard,
+        "sharded_over_unsharded": t_shard / t_plain,
     }

@@ -12,7 +12,10 @@ import jax
 import pytest
 
 from simplemath_tpu.parallel import multihost
-from simplemath_tpu.parallel.scaling import weak_scaling_report
+from simplemath_tpu.parallel.scaling import (
+    sharding_overhead_report,
+    weak_scaling_report,
+)
 
 
 def test_weak_scaling_report_cpu_mesh():
@@ -26,6 +29,23 @@ def test_weak_scaling_report_cpu_mesh():
         assert rep["times_s"][n] > 0
         assert rep["efficiency"][n] > 0
     assert rep["efficiency"][1] == pytest.approx(1.0)
+    # virtual CPU devices share cores: the report must say so
+    assert rep["efficiency_meaningful"] == (jax.default_backend() != "cpu")
+
+
+def test_sharding_overhead_report():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 (virtual) devices")
+    rep = sharding_overhead_report(
+        total_batch=17, horizon=10, iterations=2, n_devices=2
+    )
+    # 17 rounded down to a multiple of the device count
+    assert rep["total_batch"] == 16
+    assert rep["n_devices"] == 2
+    assert rep["unsharded_s"] > 0 and rep["sharded_s"] > 0
+    assert rep["sharded_over_unsharded"] == pytest.approx(
+        rep["sharded_s"] / rep["unsharded_s"]
+    )
 
 
 def test_host_local_batch_slice_single_process():

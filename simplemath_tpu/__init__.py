@@ -44,6 +44,7 @@ from .api import (  # noqa: F401
     dot,
     empty,
     exp,
+    expand_dims,
     exp2,
     full,
     log,
@@ -65,6 +66,7 @@ from .api import (  # noqa: F401
     sort,
     sqrt,
     square,
+    squeeze,
     stack,
     subtract,
     sum,

@@ -143,6 +143,8 @@ sign = _wrap1(jnp.sign)
 clip = _wrap1(jnp.clip)
 cumsum = _wrap1(jnp.cumsum)
 sort = _wrap1(jnp.sort)
+expand_dims = _wrap1(jnp.expand_dims)
+squeeze = _wrap1(jnp.squeeze)
 maximum = _wrap2(jnp.maximum)
 minimum = _wrap2(jnp.minimum)
 

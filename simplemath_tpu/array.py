@@ -54,11 +54,12 @@ class _Storage:
 
 def _normalize_key(key, ndim: int) -> list:
     """Expand a user key (scalar / tuple with Ellipsis / Slice objects) into a
-    list of int|slice over the array's dims."""
+    list of int|slice over the array's dims.  ``None`` (newaxis) entries are
+    handled by the caller (`_split_newaxes`) before reaching here."""
     if not isinstance(key, tuple):
         key = (key,)
-    # Expand Ellipsis.
-    n_explicit = sum(1 for k in key if k is not Ellipsis)
+    # Expand Ellipsis.  None consumes no input dim.
+    n_explicit = sum(1 for k in key if k is not Ellipsis and k is not None)
     out = []
     seen_ellipsis = False
     for k in key:
@@ -70,6 +71,42 @@ def _normalize_key(key, ndim: int) -> list:
         else:
             out.append(process_index(k))
     return out
+
+
+def _split_newaxes(key, ndim: int):
+    """Split ``None`` (np.newaxis) entries out of a key.
+
+    Returns ``(base_key, newaxis_positions)`` where ``base_key`` has the
+    Nones removed and ``newaxis_positions`` are the output-dim indices at
+    which size-1 axes must be inserted (computed after Ellipsis expansion,
+    accounting for int keys collapsing dims)."""
+    if not isinstance(key, tuple):
+        key = (key,)
+    if not any(k is None for k in key):
+        return key, ()
+    # Expand Ellipsis first so output positions are well defined.
+    n_explicit = sum(1 for k in key if k is not Ellipsis and k is not None)
+    expanded = []
+    for k in key:
+        if k is Ellipsis:
+            expanded.extend([slice(None)] * (ndim - n_explicit))
+        else:
+            expanded.append(k)
+    # Pad implicit trailing full slices so every base dim is represented.
+    expanded += [slice(None)] * (ndim - sum(1 for k in expanded if k is not None))
+    base_key, positions, out_dim = [], [], 0
+    for k in expanded:
+        if k is None:
+            positions.append(out_dim)
+            out_dim += 1
+        else:
+            base_key.append(k)
+            is_int = not isinstance(k, (slice, Slice)) and (
+                isinstance(k, int) or hasattr(k, "__index__")
+            )
+            if not is_int:
+                out_dim += 1  # slices keep a dim; ints collapse one
+    return tuple(base_key), tuple(positions)
 
 
 class Array:
@@ -187,13 +224,28 @@ class Array:
 
     # ----------------------------------------------------------- indexing
     def __getitem__(self, key) -> "Array":
+        key, newaxes = _split_newaxes(key, self.ndim)
         spec = self._spec.compose(_normalize_key(key, self.ndim))
+        if newaxes:
+            # np.newaxis inserts dims the view machinery can't express; like
+            # ``reshape``, the result is a regular array, not an alias.
+            out = spec.read(self._storage.buf)
+            for p in newaxes:
+                out = jnp.expand_dims(out, p)
+            return Array(out)
         return Array(_storage=self._storage, _spec=spec)
 
     def __setitem__(self, key, value) -> None:
+        key, newaxes = _split_newaxes(key, self.ndim)
         spec = self._spec.compose(_normalize_key(key, self.ndim))
         if isinstance(value, Array):
             value = value.jax()
+        if newaxes:
+            value = jnp.asarray(value)
+            # squeeze the inserted axes back out if the value carries them
+            for p in reversed(newaxes):
+                if value.ndim > len(spec.shape) and value.shape[p] == 1:
+                    value = jnp.squeeze(value, p)
         self._storage.buf = spec.write(self._storage.buf, value)
 
     def __call__(self, *args) -> Union["Array", Any]:

@@ -178,3 +178,33 @@ def test_jit_traceable():
     out = f(a, b)
     assert isinstance(out, sm.Array)
     np.testing.assert_allclose(out.numpy(), [7.0, 10.0])
+
+
+def test_newaxis_indexing():
+    """None (np.newaxis) in keys inserts size-1 dims; like reshape, the
+    result is a regular array (the view machinery tracks base dims only)."""
+    import numpy as np
+
+    x = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    a = sm.Array(x)
+    for key in [
+        (None,),
+        (None, 0),
+        (0, None),
+        (Ellipsis, None),
+        (None, Ellipsis),
+        (1, None, slice(1, 3)),
+        (None, slice(None), None, 2),
+    ]:
+        got, want = a[key], x[key]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got.numpy(), want)
+
+    b = sm.Array(x.copy())
+    w = x.copy()
+    b[0, None] = 7.0
+    w[0, None] = 7.0
+    np.testing.assert_allclose(b.numpy(), w)
+
+    assert sm.expand_dims(a, 0).shape == (1, 2, 3, 4)
+    assert sm.squeeze(a[None]).shape == (2, 3, 4)

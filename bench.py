@@ -326,6 +326,60 @@ def bench_pow(n=1000):
     return {"time_s": t, "vs_ref_1000": (934838e-9 / t) if n == 1000 else None}
 
 
+def bench_fused_pipeline(n=2048):
+    """BASELINE.json configs[1]: fused broadcast+pow+exp elementwise
+    pipeline on 2-D float arrays (benchmark_pow parity workload, extended
+    with the exp stage the reference never shipped working).
+
+    ``exp(pow(a, e_row))`` where the exponent row (1, n) broadcasts against
+    (n, n) — through the public ``sm`` API, so it exercises the broadcast
+    machinery + transcendental kernels end to end.  Reported as elements/s
+    and ns/element; there is no reference number (its float pow/exp are
+    disabled/broken, README.md:7-10), so ``vs_xla`` compares against the
+    same pipeline as raw fused XLA ops."""
+    import simplemath_tpu as sm
+
+    shape = (n, n)
+
+    def build_run_sm(L):
+        def run(a, e_row):
+            def body(i, acc):
+                y = sm.exp(sm.pow(sm.Array(a + acc * np.float32(1e-6)),
+                                  sm.Array(e_row)))
+                return acc * np.float32(1e-3) + y.jax()
+
+            return jax.lax.fori_loop(0, L, body, jnp.zeros_like(a))
+
+        return run
+
+    def build_run_xla(L):
+        def run(a, e_row):
+            def body(i, acc):
+                y = jnp.exp(jnp.power(a + acc * np.float32(1e-6), e_row))
+                return acc * np.float32(1e-3) + y
+
+            return jax.lax.fori_loop(0, L, body, jnp.zeros_like(a))
+
+        return run
+
+    def make_args(i):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(i))
+        return (
+            jax.random.uniform(k1, shape, jnp.float32, 0.5, 2.0),
+            jax.random.uniform(k2, (1, n), jnp.float32, -2.0, 2.0),
+        )
+
+    t_sm = _per_iter_time(build_run_sm, make_args, 8, 136)
+    t_xla = _per_iter_time(build_run_xla, make_args, 8, 136)
+    return {
+        "shape": list(shape),
+        "time_s": t_sm,
+        "ns_per_element": t_sm / (n * n) * 1e9,
+        "gelements_per_s": n * n / t_sm / 1e9,
+        "vs_xla": t_xla / t_sm,
+    }
+
+
 def bench_matmul(n=2048, dtype="bfloat16"):
     """MXU matmul TF/s through the public ``sm.dot`` path (auto-routed to
     the Pallas kernel for bf16, XLA dot for f32 — ops/matmul.py)."""
@@ -598,6 +652,10 @@ def main():
                 ),
             ),
             ("pow_1000", lambda: bench_pow(100 if args.quick else 1000)),
+            (
+                "fused_pipeline",
+                lambda: bench_fused_pipeline(256 if args.quick else 2048),
+            ),
             (
                 "dot1d",
                 lambda: bench_dot1d(1 << 20 if args.quick else 8 * 1024 * 1024),

@@ -337,6 +337,91 @@ def backward_sequential_soa(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     return back(ks), back(Ks)
 
 
+def riccati_make_elem(inp, reg, I_u):
+    """Per-step conditional-value element (F, c, C, eta, J): step k's
+    quadratic with u eliminated against its own stage quadratic
+    (temporal-parallelization-of-LQT formulation)."""
+    A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+    Ru = luu_t + reg * I_u
+    Ru_inv_lux = _solve_psd(Ru, lux_t)
+    Ru_inv_lu = _solve_psd(Ru, lu_t)
+    Ru_inv_Bt = _solve_psd(Ru, B_t.T)
+    F = A_t - B_t @ Ru_inv_lux
+    c = -B_t @ Ru_inv_lu
+    C = B_t @ Ru_inv_Bt
+    J = lxx_t - lux_t.T @ Ru_inv_lux
+    eta = -(lx_t - lux_t.T @ Ru_inv_lu)
+    return F, c, C, eta, J
+
+
+def riccati_combine(elem_i, elem_j, I_x):
+    """Associative composition: ``elem_i`` is earlier in time; ``elem_j``
+    aggregates the later suffix.  Applied with a leading batch axis, so all
+    products are batched matmuls and vectors use explicit [..., None].
+
+    The identity element (F=I, c=0, C=0, eta=0, J=0) is a two-sided unit —
+    :func:`riccati_identity` — which the horizon-sharded scan
+    (parallel/horizon.py) uses for padding and the exclusive prefix."""
+    Fi, ci, Ci, etai, Ji = elem_i
+    Fj, cj, Cj, etaj, Jj = elem_j
+
+    def mv(M, v):
+        return (M @ v[..., None])[..., 0]
+
+    def tr(M):
+        return jnp.swapaxes(M, -1, -2)
+
+    # M = (I + Ci Jj)^{-1}; N = (I + Jj Ci)^{-1} — unrolled inverses
+    # (jnp.linalg.solve's LU loops explode TPU compile time here; see
+    # ops/linalg_small.py).
+    from ..ops.linalg_small import inv_unrolled
+
+    M = inv_unrolled(I_x + Ci @ Jj)
+    N = inv_unrolled(I_x + Jj @ Ci)
+    F = Fj @ M @ Fi
+    c = mv(Fj @ M, ci + mv(Ci, etaj)) + cj
+    C = Fj @ M @ Ci @ tr(Fj) + Cj
+    eta = mv(tr(Fi) @ N, etaj - mv(Jj, ci)) + etai
+    J = tr(Fi) @ N @ Jj @ Fi + Ji
+    return F, c, C, eta, J
+
+
+def riccati_identity(nx, dtype):
+    """Two-sided unit of :func:`riccati_combine`."""
+    return (
+        jnp.eye(nx, dtype=dtype),
+        jnp.zeros((nx,), dtype),
+        jnp.zeros((nx, nx), dtype),
+        jnp.zeros((nx,), dtype),
+        jnp.zeros((nx, nx), dtype),
+    )
+
+
+def riccati_gains(inp, Vx, Vxx, reg, I_u):
+    """Per-step feedback gains from the step-(k+1) value function —
+    identical to the sequential pass's stage equations."""
+    A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+    Qu = lu_t + B_t.T @ Vx
+    Quu = luu_t + B_t.T @ Vxx @ B_t + reg * I_u
+    Qux = lux_t + B_t.T @ Vxx @ A_t
+    k_t = -_solve_psd(Quu, Qu)
+    K_t = -_solve_psd(Quu, Qux)
+    return k_t, K_t
+
+
+def riccati_suffix_scan(full, I_x):
+    """Suffix-composition scan over a time-leading element pytree:
+    ``out[k] = elem_k ⊕ elem_{k+1} ⊕ … ⊕ elem_last``."""
+    # Reverse the time axis so the scan accumulates suffixes k..T.  In the
+    # reversed order, scan-"left" operands are LATER in time, so flip the
+    # operator's arguments: prefix_rev[j] = elem_{T-j} ⊕ (later suffix).
+    rev = jax.tree.map(lambda x: jnp.flip(x, axis=0), full)
+    scanned = jax.lax.associative_scan(
+        lambda a, b: riccati_combine(b, a, I_x), rev, axis=0
+    )
+    return jax.tree.map(lambda x: jnp.flip(x, axis=0), scanned)
+
+
 def backward_associative(
     A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, return_values=False
 ):
@@ -363,20 +448,9 @@ def backward_associative(
     #   F = A - B luu^{-1} lux,  c = -B luu^{-1} lu,
     #   C = B luu^{-1} B^T,
     #   J = lxx - lux^T luu^{-1} lux,  eta = -(lx - lux^T luu^{-1} lu)
-    def make_elem(inp):
-        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
-        Ru = luu_t + reg * I_u
-        Ru_inv_lux = _solve_psd(Ru, lux_t)
-        Ru_inv_lu = _solve_psd(Ru, lu_t)
-        Ru_inv_Bt = _solve_psd(Ru, B_t.T)
-        F = A_t - B_t @ Ru_inv_lux
-        c = -B_t @ Ru_inv_lu
-        C = B_t @ Ru_inv_Bt
-        J = lxx_t - lux_t.T @ Ru_inv_lux
-        eta = -(lx_t - lux_t.T @ Ru_inv_lu)
-        return F, c, C, eta, J
-
-    elems = jax.vmap(make_elem)((A, B, lx, lu, lxx, luu, lux))
+    elems = jax.vmap(lambda inp: riccati_make_elem(inp, reg, I_u))(
+        (A, B, lx, lu, lxx, luu, lux)
+    )
 
     # Terminal element: pure quadratic terminal cost.
     term = (
@@ -390,55 +464,14 @@ def backward_associative(
         lambda e, t: jnp.concatenate([e, t[None]], axis=0), elems, term
     )
 
-    def combine(elem_i, elem_j):
-        # elem_i is earlier in time; elem_j aggregates the later suffix.
-        # associative_scan applies this with a leading batch axis, so all
-        # products are batched matmuls and vectors use explicit [..., None].
-        Fi, ci, Ci, etai, Ji = elem_i
-        Fj, cj, Cj, etaj, Jj = elem_j
-
-        def mv(M, v):
-            return (M @ v[..., None])[..., 0]
-
-        def tr(M):
-            return jnp.swapaxes(M, -1, -2)
-
-        # M = (I + Ci Jj)^{-1}; N = (I + Jj Ci)^{-1} — unrolled inverses
-        # (jnp.linalg.solve's LU loops explode TPU compile time here; see
-        # ops/linalg_small.py).
-        from ..ops.linalg_small import inv_unrolled
-
-        M = inv_unrolled(I_x + Ci @ Jj)
-        N = inv_unrolled(I_x + Jj @ Ci)
-        F = Fj @ M @ Fi
-        c = mv(Fj @ M, ci + mv(Ci, etaj)) + cj
-        C = Fj @ M @ Ci @ tr(Fj) + Cj
-        eta = mv(tr(Fi) @ N, etaj - mv(Jj, ci)) + etai
-        J = tr(Fi) @ N @ Jj @ Fi + Ji
-        return F, c, C, eta, J
-
-    # Reverse the time axis so the scan accumulates suffixes k..T.  In the
-    # reversed order, scan-"left" operands are LATER in time, so flip the
-    # operator's arguments: prefix_rev[j] = elem_{T-j} ⊕ (later suffix).
-    rev = jax.tree.map(lambda x: jnp.flip(x, axis=0), full)
-    scanned = jax.lax.associative_scan(lambda a, b: combine(b, a), rev, axis=0)
-    suffix = jax.tree.map(lambda x: jnp.flip(x, axis=0), scanned)
+    suffix = riccati_suffix_scan(full, I_x)
 
     # suffix[k+1] carries (eta, J) of the value function at step k+1; recover
     # per-step gains exactly like the sequential pass.
     Vx_all = -suffix[3]  # (H+1, nx)
     Vxx_all = suffix[4]  # (H+1, nx, nx)
 
-    def gains(inp, Vx, Vxx):
-        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
-        Qu = lu_t + B_t.T @ Vx
-        Quu = luu_t + B_t.T @ Vxx @ B_t + reg * I_u
-        Qux = lux_t + B_t.T @ Vxx @ A_t
-        k_t = -_solve_psd(Quu, Qu)
-        K_t = -_solve_psd(Quu, Qux)
-        return k_t, K_t
-
-    ks, Ks = jax.vmap(gains)(
+    ks, Ks = jax.vmap(lambda inp, Vx, Vxx: riccati_gains(inp, Vx, Vxx, reg, I_u))(
         (A, B, lx, lu, lxx, luu, lux), Vx_all[1:], Vxx_all[1:]
     )
     if return_values:

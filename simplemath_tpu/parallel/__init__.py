@@ -14,6 +14,10 @@ from .collectives import (  # noqa: F401
     shard_map,
 )
 from .sharded import make_sharded_train_step, solve_batched_sharded  # noqa: F401
+from .horizon import (  # noqa: F401
+    backward_associative_sharded,
+    sharded_suffix_scan,
+)
 from .multihost import (  # noqa: F401
     host_local_batch_slice,
     initialize_from_env,

@@ -16,7 +16,9 @@ from .collectives import (  # noqa: F401
 from .sharded import make_sharded_train_step, solve_batched_sharded  # noqa: F401
 from .horizon import (  # noqa: F401
     backward_associative_sharded,
+    backward_associative_sharded_batched,
     sharded_suffix_scan,
+    sharded_suffix_scan_batched,
 )
 from .multihost import (  # noqa: F401
     host_local_batch_slice,

@@ -87,3 +87,40 @@ def test_sharded_backward_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(Ks), np.asarray(Ks_seq), rtol=1e-3, atol=1e-4
     )
+
+
+def test_batched_2d_mesh_scenario_x_horizon():
+    """2-D decomposition: scenario batch sharded over one mesh axis, the
+    horizon over the other — must match vmap of the single-device
+    associative pass."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    H, Bb = 21, 6  # H+1=22 over 4 time shards forces padding; Bb=6 over 2
+    keys = jax.random.split(jax.random.PRNGKey(7), Bb)
+    probs = [
+        _linearized_problem(H=H, seed=int(k[0]) % 1000) for k in keys
+    ]
+    args = tuple(
+        jnp.stack([p[i] for p in probs]) for i in range(9)
+    )  # batch-leading
+    reg = jnp.float32(1e-6)
+
+    ks_ref, Ks_ref = jax.jit(
+        jax.vmap(lambda *a: ilqr.backward_associative(*a, reg))
+    )(*args)
+
+    mesh = make_mesh((2, 4), ("scenario", "h"), devices=jax.devices()[:8])
+    ks, Ks = jax.jit(
+        functools.partial(
+            horizon.backward_associative_sharded_batched,
+            mesh,
+            "h",
+            scenario_axis="scenario",
+        )
+    )(*args, reg)
+    np.testing.assert_allclose(
+        np.asarray(ks), np.asarray(ks_ref), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ks), np.asarray(Ks_ref), rtol=2e-4, atol=2e-5
+    )

@@ -113,13 +113,24 @@ def test_dot1d_routes_to_fused_kernel(rng):
     np.testing.assert_allclose(float(out.jax()), np.dot(a, b), rtol=1e-4)
 
 
+def _matmul_tols():
+    """On real TPU the default-precision f32 kernel truncates operands to
+    bf16 before the MXU (documented contract, ops/matmul.py) — so the
+    oracle tolerance is bf16-grade there, exact-f32-grade in interpret
+    mode."""
+    return (
+        dict(rtol=2e-5, atol=2e-5)
+        if config.interpret_mode()
+        else dict(rtol=2e-2, atol=2e-3)
+    )
+
+
 def test_batched_matmul_routes_to_bmm_kernel(rng):
     a = rng.normal(size=(2, 256, 260)).astype(np.float32) / 16
     b = rng.normal(size=(2, 260, 257)).astype(np.float32) / 16
     out = sm.matmul(sm.Array(a), sm.Array(b))
     assert dispatch.count("matmul", "bmm") == 1
-    # interpret mode keeps exact f32 (truncation is TPU-only)
-    np.testing.assert_allclose(out.numpy(), a @ b, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.numpy(), a @ b, **_matmul_tols())
 
 
 def test_matmul_2d_kernel(rng):
@@ -127,7 +138,7 @@ def test_matmul_2d_kernel(rng):
     b = rng.normal(size=(256, 300)).astype(np.float32) / 16
     out = sm.matmul(sm.Array(a), sm.Array(b))
     assert dispatch.count("matmul", "mm") == 1
-    np.testing.assert_allclose(out.numpy(), a @ b, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out.numpy(), a @ b, **_matmul_tols())
 
 
 def test_tile_registry_cap_eviction(monkeypatch, rng):

@@ -1,5 +1,8 @@
 """Pallas matmul + reduction kernels vs the NumPy oracle (interpret mode on
-CPU; the same kernels compile to Mosaic on TPU)."""
+CPU; the same kernels compile to Mosaic on TPU).  f32 matmul cases pin the
+precision="highest" contract (exact f32) so they hold on the real MXU too;
+the default-precision bf16-truncating path is covered by test_dispatch with
+bf16-grade tolerances."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -11,7 +14,7 @@ from simplemath_tpu.ops import matmul, reduction
 def test_pallas_matmul_square(rng):
     a = rng.normal(size=(256, 320)).astype(np.float32)
     b = rng.normal(size=(320, 256)).astype(np.float32)
-    out = matmul.pallas_matmul(jnp.asarray(a), jnp.asarray(b))
+    out = matmul.pallas_matmul(jnp.asarray(a), jnp.asarray(b), precision="highest")
     np.testing.assert_allclose(
         np.asarray(out), a @ b, rtol=1e-5, atol=1e-4
     )
@@ -22,7 +25,8 @@ def test_pallas_matmul_multi_k_steps(rng):
     a = rng.normal(size=(64, 700)).astype(np.float32)
     b = rng.normal(size=(700, 64)).astype(np.float32)
     out = matmul.pallas_matmul(
-        jnp.asarray(a), jnp.asarray(b), block_m=64, block_k=256, block_n=64
+        jnp.asarray(a), jnp.asarray(b), block_m=64, block_k=256, block_n=64,
+        precision="highest",
     )
     np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-4)
 
@@ -31,7 +35,8 @@ def test_pallas_matmul_unaligned(rng):
     a = rng.normal(size=(100, 300)).astype(np.float32)
     b = rng.normal(size=(300, 130)).astype(np.float32)
     out = matmul.pallas_matmul(
-        jnp.asarray(a), jnp.asarray(b), block_m=64, block_k=128, block_n=64
+        jnp.asarray(a), jnp.asarray(b), block_m=64, block_k=128, block_n=64,
+        precision="highest",
     )
     np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-5, atol=1e-4)
 

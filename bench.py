@@ -696,7 +696,19 @@ def main():
             except Exception as e:  # pragma: no cover
                 print(f"{name} failed: {e}", file=err)
 
-    cart = bench_cartpole(quick=args.quick)
+    # The headline row must always emit its JSON line, even on a flaky
+    # device tunnel: retry with backoff before giving up.
+    last_exc = None
+    for attempt in range(3):
+        try:
+            cart = bench_cartpole(quick=args.quick)
+            break
+        except Exception as e:  # pragma: no cover
+            last_exc = e
+            print(f"cartpole attempt {attempt + 1} failed: {e}", file=err)
+            time.sleep(30 * (attempt + 1))
+    else:  # pragma: no cover
+        raise last_exc
     details["cartpole"] = cart
     print(f"cartpole: {cart}", file=err)
 

@@ -28,6 +28,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -110,11 +111,16 @@ def _build_call(
     )
     grid = tuple(_cdiv(out_shape[d], blocks[d]) for d in range(nd))
 
+    # Pinned block indices must be int32 scalars: a Python literal 0 becomes
+    # an i64 constant under jax_enable_x64, and Mosaic rejects index-map
+    # functions returning i64 ("failed to legalize operation 'func.return'").
+    zero = np.int32(0)
+
     def in_spec(shape):
         bshape = tuple(1 if shape[d] == 1 else blocks[d] for d in range(nd))
 
         def imap(*gidx):
-            return tuple(0 if shape[d] == 1 else gidx[d] for d in range(nd))
+            return tuple(zero if shape[d] == 1 else gidx[d] for d in range(nd))
 
         return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
 

@@ -37,7 +37,13 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _matmul_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool):
+def _round_up(x: int, m: int) -> int:
+    return _cdiv(x, m) * m
+
+
+def _matmul_kernel(
+    a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool, highest: bool
+):
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -47,14 +53,24 @@ def _matmul_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool)
     if trunc:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    acc_ref[...] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # precision must reach the in-kernel dot: on the real MXU the platform
+    # default truncates f32 operands to bf16, so "highest" has to be
+    # requested explicitly here (interpret mode is exact either way).
+    acc_ref[...] += jnp.dot(
+        a,
+        b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if highest else None,
+    )
 
     @pl.when(pl.program_id(2) == k_steps - 1)
     def _store():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _bmm_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool):
+def _bmm_kernel(
+    a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool, highest: bool
+):
     @pl.when(pl.program_id(3) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -64,7 +80,12 @@ def _bmm_kernel(a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool):
     if trunc:
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
-    acc_ref[...] += jnp.dot(a, b, preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(
+        a,
+        b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if highest else None,
+    )
 
     @pl.when(pl.program_id(3) == k_steps - 1)
     def _store():
@@ -84,10 +105,13 @@ def _build_matmul(
     bn: int,
     interpret: bool,
     trunc: bool,
+    highest: bool,
 ):
     k_steps = _cdiv(K, bk)
     grid = (_cdiv(M, bm), _cdiv(N, bn), k_steps)
-    kernel = functools.partial(_matmul_kernel, k_steps=k_steps, trunc=trunc)
+    kernel = functools.partial(
+        _matmul_kernel, k_steps=k_steps, trunc=trunc, highest=highest
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
@@ -130,10 +154,13 @@ def _build_bmm(
     bn: int,
     interpret: bool,
     trunc: bool,
+    highest: bool,
 ):
     k_steps = _cdiv(K, bk)
     grid = (B, _cdiv(M, bm), _cdiv(N, bn), k_steps)
-    kernel = functools.partial(_bmm_kernel, k_steps=k_steps, trunc=trunc)
+    kernel = functools.partial(
+        _bmm_kernel, k_steps=k_steps, trunc=trunc, highest=highest
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, M, N), out_dtype),
@@ -223,9 +250,13 @@ def pallas_matmul(
         dbm, dbk, dbn = _DEFAULT_BLOCKS.get(
             jnp.dtype(a.dtype), _DEFAULT_BLOCKS[jnp.dtype(jnp.float32)]
         )
-    bm = min(block_m or dbm, M)
-    bk = min(block_k or dbk, K)
-    bn = min(block_n or dbn, N)
+    # Mosaic requires each block's trailing two dims divisible by the
+    # hardware tile (sublane, 128) unless equal to the array dim; arrays are
+    # padded to block multiples below, so rounding the blocks suffices.
+    sub = 16 if jnp.dtype(a.dtype) == jnp.dtype(jnp.bfloat16) else 8
+    bm = _round_up(min(block_m or dbm, M), sub)
+    bk = _round_up(min(block_k or dbk, K), 128)
+    bn = _round_up(min(block_n or dbn, N), 128)
     Mp, Kp, Np = (_cdiv(M, bm) * bm, _cdiv(K, bk) * bk, _cdiv(N, bn) * bn)
     pad_a = [(0, Mp - M), (0, Kp - K)]
     pad_b = [(0, Kp - K), (0, Np - N)]
@@ -241,13 +272,13 @@ def pallas_matmul(
         call = _build_bmm(
             B, Mp, Kp, Np,
             jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
-            bm, bk, bn, interpret, trunc,
+            bm, bk, bn, interpret, trunc, precision == "highest",
         )
     else:
         call = _build_matmul(
             Mp, Kp, Np,
             jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
-            bm, bk, bn, interpret, trunc,
+            bm, bk, bn, interpret, trunc, precision == "highest",
         )
     out = call(a, b)
     if (Mp, Np) != (M, N):

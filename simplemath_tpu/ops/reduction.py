@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -27,6 +28,11 @@ _REDUCERS = {
     "max": (jnp.max, jnp.maximum, -jnp.inf),
     "min": (jnp.min, jnp.minimum, jnp.inf),
 }
+
+
+# Pinned block indices must be int32: a Python 0 becomes an i64 constant
+# under jax_enable_x64 and Mosaic rejects i64-returning index maps.
+_Z = np.int32(0)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -52,10 +58,10 @@ def _build_reduce(kind, n_rows, n_cols, block_rows, in_dtype, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (block_rows, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block_rows, n_cols), lambda i: (i, _Z), memory_space=pltpu.VMEM
             )
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
         interpret=interpret,
     )
 
@@ -115,14 +121,14 @@ def _build_dot1d(n_rows, n_cols, block_rows, interpret):
         out_ref[0, 0] = out_ref[0, 0] + part
 
     spec = pl.BlockSpec(
-        (block_rows, n_cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, n_cols), lambda i: (i, _Z), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
         in_specs=[spec, spec],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
         interpret=interpret,
     )
 

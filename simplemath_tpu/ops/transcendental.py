@@ -84,8 +84,11 @@ def _poly(coeffs, x):
 def _ldexp_f32(x, k):
     """x * 2^k for int32 k in [-300, 300], via two-step exponent bitcast so
     subnormal results round correctly."""
-    k = jnp.clip(k, -252, 252)
-    k1 = k // 2
+    # Explicit int32 bounds/divisor: Python int literals become i64 scalars
+    # under jax_enable_x64, and Mosaic cannot lower the resulting i64<->i32
+    # converts (infinite _convert_helper recursion).
+    k = jnp.clip(k, np.int32(-252), np.int32(252))
+    k1 = k // np.int32(2)
     k2 = k - k1
     s1 = jax.lax.bitcast_convert_type(((k1 + 127) << 23).astype(jnp.int32), jnp.float32)
     s2 = jax.lax.bitcast_convert_type(((k2 + 127) << 23).astype(jnp.int32), jnp.float32)
@@ -103,7 +106,7 @@ def exp_f32(x):
     # Subnormal results: the float multiply path gets flushed to zero by the
     # platform (XLA CPU/TPU run FTZ), so construct the subnormal BITS
     # directly: value = round(p * 2^(k+149)) * 2^-149.
-    k149 = jnp.clip(k + 149, 0, 254)
+    k149 = jnp.clip(k + np.int32(149), np.int32(0), np.int32(254))
     scale_sub = jax.lax.bitcast_convert_type(
         ((k149 + 127) << 23).astype(jnp.int32), jnp.float32
     )
@@ -128,7 +131,8 @@ def _decompose_f32(x):
     mant_field = bits0 & jnp.int32(0x007FFFFF)
     is_sub = (exp_field == 0) & (mant_field != 0)
     xs = jnp.where(is_sub, mant_field.astype(jnp.float32), x)
-    bias = jnp.where(is_sub, 149, 0).astype(jnp.int32)
+    # int32 literals: Python ints become i64 under x64; Mosaic can't lower.
+    bias = jnp.where(is_sub, np.int32(149), np.int32(0))
     bits = jax.lax.bitcast_convert_type(xs, jnp.int32)
     e = ((bits >> 23) & 0xFF) - 127 - bias
     m = jax.lax.bitcast_convert_type(
@@ -238,7 +242,7 @@ def pow_f32(x, y):
 
     y_int = jnp.round(y)
     y_is_int = y == y_int
-    y_is_odd = y_is_int & (jnp.abs(jnp.mod(y_int, 2.0)) == 1.0)
+    y_is_odd = y_is_int & (jnp.abs(jnp.mod(y_int, np.float32(2.0))) == np.float32(1.0))
     sign = jnp.where((x < 0) & y_is_odd, np.float32(-1.0), np.float32(1.0))
     out = sign * r
     # negative base, non-integer exponent -> nan
@@ -275,10 +279,16 @@ def ipow_tile(base, exponent):
     result = jnp.ones_like(base_b)
     b = base_b
     for _ in range(31):
-        result = jnp.where((e & 1) == 1, result * b, result)
+        one = jnp.asarray(1, e.dtype)
+        result = jnp.where((e & one) == one, result * b, result)
         b = b * b
-        e = e >> 1
-    parity = jnp.where(jnp.abs(e_b) % 2 == 0, 1, -1).astype(base_b.dtype)
+        e = e >> jnp.asarray(1, e.dtype)
+    two = jnp.asarray(2, dtype=e_b.dtype)
+    parity = jnp.where(
+        jnp.abs(e_b) % two == jnp.asarray(0, e_b.dtype),
+        jnp.asarray(1, base_b.dtype),
+        jnp.asarray(-1, base_b.dtype),
+    )
     neg = jnp.where(
         base_b == 1,
         jnp.ones_like(base_b),

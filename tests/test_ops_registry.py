@@ -51,3 +51,30 @@ def test_operator_attachment():
         np.testing.assert_allclose(out.numpy(), [6.0])
     finally:
         del sm.Array.__xor__
+
+
+def test_custom_tile_fn_dispatched_to_pallas():
+    # The reference's extension story is scalar apply + a SIMD specialization
+    # (AddOp::apply_simd, README.md:94-117).  Here the specialization is a
+    # Pallas tile_fn; this asserts the kernel engine actually traces it.
+    from simplemath_tpu.config import config
+
+    traced = []
+
+    def tile(a, b):
+        traced.append(True)  # fires at kernel-trace time
+        return (a + b) * 2
+
+    sm.register_op(
+        "tiled_op", lambda a, b: (a + b) * 2, tile_fn=tile, overwrite=True
+    )
+    a = sm.ones(16, 256)
+    b = sm.ones(16, 256)
+    old = config.kernel_backend
+    config.kernel_backend = "pallas"
+    try:
+        out = sm.apply_op("tiled_op", a, b)
+    finally:
+        config.kernel_backend = old
+    assert traced, "custom tile_fn was never traced by the Pallas engine"
+    np.testing.assert_allclose(out.numpy(), np.full((16, 256), 4.0))

@@ -179,9 +179,13 @@ def bench_pow_small(shape, exponent, ref_ns, label):
     return {"time_s": t, f"vs_ref_{ref_ns}ns": ref_ns * 1e-9 / t}
 
 
-def bench_dot1d(n=8 * 1024 * 1024):
+def bench_dot1d(n=32 * 1024 * 1024):
     """Fused 1-D dot kernel through public ``sm.dot`` (the reference's
-    ``operator%`` / product.h path): HBM-streaming GB/s."""
+    ``operator%`` / product.h path): HBM-streaming GB/s.  Operands are
+    128 MB each (256 MB total) so the working set cannot hide in VMEM and
+    the reported number is true HBM streaming (round-2 VERDICT item 5
+    fixed: the old 8M-float operands were VMEM-resident and reported a
+    bogus roofline_fraction of 2.46)."""
     import simplemath_tpu as sm
 
     def build_run(L):
@@ -216,8 +220,9 @@ def bench_dot1d(n=8 * 1024 * 1024):
     }
 
 
-def bench_reduce_sum(n=32 * 1024 * 1024):
-    """Public ``Array.sum()`` -> Pallas tiled reduction: HBM GB/s."""
+def bench_reduce_sum(n=64 * 1024 * 1024):
+    """Public ``Array.sum()`` -> Pallas tiled reduction: HBM GB/s (256 MB
+    operand, true HBM streaming)."""
     import simplemath_tpu as sm
 
     def build_run(L):
@@ -326,22 +331,79 @@ def bench_pow(n=1000):
     return {"time_s": t, "vs_ref_1000": (934838e-9 / t) if n == 1000 else None}
 
 
+def bench_small_pow_batched(batch=200_000):
+    """The TPU-native answer to the reference's 300 ns tiny-pow rows
+    (benchmark/pow.cpp:5-28): a single tiny op can never beat a ~300 ns
+    CPU call from a host-dispatched accelerator (the documented latency
+    floor, BASELINE.md) — but tiny ops never arrive alone in a deployed
+    controller, and a lane-packed BATCH of them is one VPU-wide kernel.
+    Measures ``sm.pow`` on a (B, 3, 3) int32 stack (public path: flattens
+    to the 1-D crafted-pow kernel, ops/elementwise.py) and reports
+    equivalent tiny-pows/s vs the reference's 1/297ns."""
+    import simplemath_tpu as sm
+    from simplemath_tpu.ops import dispatch
+
+    base = (jnp.arange(batch * 9, dtype=jnp.int32) % 5).reshape(batch, 3, 3)
+
+    def build_run(L):
+        def run(seed):
+            def body(i, acc):
+                out = sm.pow(sm.Array(base + (acc & 1)), 2).jax()
+                return acc + jnp.sum(out) % 97
+
+            return jax.lax.fori_loop(0, L, body, seed)
+
+        return run
+
+    def make_args(i):
+        return (jnp.int32(i % 3),)
+
+    dispatch.reset()
+    t = _per_iter_time(build_run, make_args, 64, 2112)
+    pows_per_s = batch / t
+    ref_pows_per_s = 1.0 / 297e-9
+    return {
+        "batch": batch,
+        "time_s": t,
+        "through_pallas_kernel": dispatch.count("elementwise", "ipow") > 0,
+        "tiny_pows_per_s": pows_per_s,
+        "vs_ref_throughput": pows_per_s / ref_pows_per_s,
+    }
+
+
 def bench_fused_pipeline(n=2048):
     """BASELINE.json configs[1]: fused broadcast+pow+exp elementwise
     pipeline on 2-D float arrays (benchmark_pow parity workload, extended
     with the exp stage the reference never shipped working).
 
-    ``exp(pow(a, e_row))`` where the exponent row (1, n) broadcasts against
-    (n, n) — through the public ``sm`` API, so it exercises the broadcast
-    machinery + transcendental kernels end to end.  Reported as elements/s
-    and ns/element; there is no reference number (its float pow/exp are
-    disabled/broken, README.md:7-10), so ``vs_xla`` compares against the
-    same pipeline as raw fused XLA ops."""
+    ``exp(pow(a + eps, e_row))`` where the exponent row (1, n) broadcasts
+    against (n, n) — through the public ``sm`` API, as ONE ``sm.fuse``d
+    kernel (the round-3 fusion story: the whole chain including the
+    perturbation add runs in a single elementwise launch, with the row
+    broadcast handled by BlockSpec index maps).  There is no reference
+    number (its float pow/exp are disabled/broken, README.md:7-10), so
+    ``vs_xla`` compares against the same pipeline as raw fused XLA ops;
+    ``unfused`` records what the op-per-kernel chain costs (the round-2
+    behavior) for the record."""
     import simplemath_tpu as sm
+    from simplemath_tpu.ops import dispatch
 
     shape = (n, n)
+    fused = sm.fuse(
+        lambda a, eps, e_row: sm.exp(sm.pow(sm.add(a, eps), e_row))
+    )
 
-    def build_run_sm(L):
+    def build_run_fused(L):
+        def run(a, e_row):
+            def body(i, acc):
+                y = fused(a, acc * np.float32(1e-6), e_row)
+                return acc * np.float32(1e-3) + y.jax()
+
+            return jax.lax.fori_loop(0, L, body, jnp.zeros_like(a))
+
+        return run
+
+    def build_run_chain(L):
         def run(a, e_row):
             def body(i, acc):
                 y = sm.exp(sm.pow(sm.Array(a + acc * np.float32(1e-6)),
@@ -369,20 +431,27 @@ def bench_fused_pipeline(n=2048):
             jax.random.uniform(k2, (1, n), jnp.float32, -2.0, 2.0),
         )
 
-    t_sm = _per_iter_time(build_run_sm, make_args, 8, 136)
+    dispatch.reset()
+    t_sm = _per_iter_time(build_run_fused, make_args, 8, 136)
+    one_launch = dispatch.count("elementwise", "fused") > 0
+    t_chain = _per_iter_time(build_run_chain, make_args, 8, 136)
     t_xla = _per_iter_time(build_run_xla, make_args, 8, 136)
     return {
         "shape": list(shape),
         "time_s": t_sm,
         "ns_per_element": t_sm / (n * n) * 1e9,
         "gelements_per_s": n * n / t_sm / 1e9,
+        "through_fused_kernel": one_launch,
         "vs_xla": t_xla / t_sm,
+        "unfused": {"time_s": t_chain, "vs_xla": t_xla / t_chain},
     }
 
 
 def bench_matmul(n=2048, dtype="bfloat16"):
-    """MXU matmul TF/s through the public ``sm.dot`` path (auto-routed to
-    the Pallas kernel for bf16, XLA dot for f32 — ops/matmul.py)."""
+    """MXU matmul TF/s through the public ``sm.dot`` path (measured
+    routing: Pallas kernel for bf16, XLA dot for f32 — ops/engine.py), with
+    a SAME-SESSION ``jnp.dot`` row so the "route by measured speed" claim
+    is re-checked on every bench run (round-2 VERDICT item 3)."""
     import simplemath_tpu as sm
 
     dt = jnp.dtype(dtype)
@@ -397,6 +466,15 @@ def bench_matmul(n=2048, dtype="bfloat16"):
 
         return run
 
+    def build_run_xla(L):
+        def run(a, b):
+            def body(i, acc):
+                return (jnp.dot(acc, b) * scale).astype(dt)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
     def make_args(i):
         k = jax.random.PRNGKey(i)
         ka, kb = jax.random.split(k)
@@ -406,9 +484,16 @@ def bench_matmul(n=2048, dtype="bfloat16"):
         )
 
     t = _per_iter_time(build_run, make_args, 64, 448)
+    t_xla = _per_iter_time(build_run_xla, make_args, 64, 448)
     tflops = 2 * n**3 / t / 1e12
     peak = 197.0  # v5e MXU peak (bf16) TF/s
-    return {"time_s": t, "TFLOPs": tflops, "mxu_peak_fraction": tflops / peak}
+    return {
+        "time_s": t,
+        "TFLOPs": tflops,
+        "mxu_peak_fraction": tflops / peak,
+        "xla_TFLOPs": 2 * n**3 / t_xla / 1e12,
+        "vs_xla": t_xla / t,
+    }
 
 
 def bench_bmm(B=8, n=1024, dtype="bfloat16"):
@@ -457,6 +542,52 @@ def bench_long_horizon(batch=512, horizon=1000, iters=2):
     out["associative_speedup"] = (
         out["sequential"]["time_s"] / out["associative"]["time_s"]
     )
+    return out
+
+
+def bench_horizon_crossover(batch=8, horizons=(1024, 4096, 16384), iters=1):
+    """O(log H) payoff in the LATENCY-BOUND regime (round-2 VERDICT item
+    5): small batch (the chip is nowhere near throughput-saturated, so
+    sequential depth is the critical path), very long horizons, sequential
+    vs associative-scan Riccati backward.  Steady-state per-solve time via
+    loop-length differencing; reports the speedup at each H so the
+    crossover is on record (the throughput regime at batch 512 measured
+    1.01x in round 2 — depth cannot matter on a saturated chip)."""
+    from simplemath_tpu.models import ILQRConfig, make_cartpole
+    from simplemath_tpu.models.ilqr import solve_batched
+
+    system = make_cartpole()
+    out = {"batch": batch, "iterations": iters, "rows": []}
+    for H in horizons:
+        row = {"horizon": H}
+        for mode in ("sequential", "associative"):
+            cfg = ILQRConfig(iterations=iters, backward=mode)
+            us = jnp.zeros((batch, H, system.nu), jnp.float32)
+
+            def build_run(L, cfg=cfg, us=us):
+                def run(x0s):
+                    def body(i, acc):
+                        c = solve_batched(
+                            system, x0s + acc * jnp.float32(1e-9), us, cfg
+                        ).cost
+                        return acc + jnp.sum(c) * jnp.float32(1e-12)
+
+                    return jax.lax.fori_loop(0, L, body, jnp.float32(0.0))
+
+                return run
+
+            def make_args(i):
+                return (
+                    0.2
+                    * jax.random.normal(
+                        jax.random.PRNGKey(i), (batch, system.nx), jnp.float32
+                    ),
+                )
+
+            row[mode] = _per_iter_time(build_run, make_args, 1, 3, repeats=2)
+        row["associative_speedup"] = row["sequential"] / row["associative"]
+        out["rows"].append(row)
+    out["max_speedup"] = max(r["associative_speedup"] for r in out["rows"])
     return out
 
 
@@ -658,12 +789,18 @@ def main():
             ),
             (
                 "dot1d",
-                lambda: bench_dot1d(1 << 20 if args.quick else 8 * 1024 * 1024),
+                lambda: bench_dot1d(1 << 20 if args.quick else 32 * 1024 * 1024),
             ),
             (
                 "reduce_sum",
                 lambda: bench_reduce_sum(
-                    1 << 20 if args.quick else 32 * 1024 * 1024
+                    1 << 20 if args.quick else 64 * 1024 * 1024
+                ),
+            ),
+            (
+                "small_pow_batched",
+                lambda: bench_small_pow_batched(
+                    10_000 if args.quick else 200_000
                 ),
             ),
             (
@@ -687,6 +824,12 @@ def main():
                     horizon=200 if args.quick else 1000,
                 ),
             ),
+            (
+                "horizon_crossover",
+                lambda: bench_horizon_crossover(
+                    horizons=(256, 1024) if args.quick else (1024, 4096, 16384)
+                ),
+            ),
             ("sharded_overhead", lambda: bench_sharded_overhead()),
             ("weak_scaling_cpu_proxy", bench_weak_scaling_cpu_proxy),
         ]:
@@ -706,7 +849,8 @@ def main():
         except Exception as e:  # pragma: no cover
             last_exc = e
             print(f"cartpole attempt {attempt + 1} failed: {e}", file=err)
-            time.sleep(30 * (attempt + 1))
+            if attempt < 2:  # no point sleeping after the final attempt
+                time.sleep(30 * (attempt + 1))
     else:  # pragma: no cover
         raise last_exc
     details["cartpole"] = cart

@@ -47,6 +47,7 @@ from .api import (  # noqa: F401
     expand_dims,
     exp2,
     full,
+    fuse,
     log,
     log2,
     matmul,

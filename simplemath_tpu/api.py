@@ -79,35 +79,63 @@ def divide(a, b) -> Array:
     return engine.binary("divide", a, b)
 
 
-def exp(a) -> Array:
-    from .ops import transcendental
+def _transcendental_unary(name: str, a) -> Array:
+    from .ops import fusion, transcendental
 
-    return Array(transcendental.exp(asarray(a).jax()))
+    if fusion.is_fused(a):
+        return fusion.unary_node(name, a)
+    return Array(getattr(transcendental, name)(asarray(a).jax()))
+
+
+def exp(a) -> Array:
+    return _transcendental_unary("exp", a)
 
 
 def log(a) -> Array:
-    from .ops import transcendental
-
-    return Array(transcendental.log(asarray(a).jax()))
+    return _transcendental_unary("log", a)
 
 
 def exp2(a) -> Array:
-    from .ops import transcendental
-
-    return Array(transcendental.exp2(asarray(a).jax()))
+    return _transcendental_unary("exp2", a)
 
 
 def log2(a) -> Array:
-    from .ops import transcendental
+    return _transcendental_unary("log2", a)
 
-    return Array(transcendental.log2(asarray(a).jax()))
+
+def fuse(fn):
+    """Fuse a chain of sm ops into one kernel launch (ops/fusion.py)."""
+    from .ops import fusion
+
+    return fusion.fuse(fn)
 
 
 # --------------------------------------------------------------------------
 # NumPy-style free functions over Array (the rest of a complete ndarray
 # surface; all honor views and lower to XLA).
+# jnp names with a fusable tile implementation (registry name on the right).
+_FUSABLE = {
+    "sqrt": "sqrt",
+    "square": "square",
+    "abs": "abs",
+    "absolute": "abs",
+    "negative": "negative",
+    "maximum": "maximum",
+    "minimum": "minimum",
+}
+
+
 def _wrap1(fn):
     def wrapped(a, *args, **kwargs):
+        from .ops import fusion
+
+        if fusion.is_fused(a):
+            name = _FUSABLE.get(fn.__name__)
+            if name is None or args or kwargs:
+                raise TypeError(
+                    f"sm.{fn.__name__} is not supported inside sm.fuse"
+                )
+            return fusion.apply_by_name(name, a)
         return Array(fn(asarray(a).jax(), *args, **kwargs))
 
     return wrapped
@@ -115,6 +143,15 @@ def _wrap1(fn):
 
 def _wrap2(fn):
     def wrapped(a, b, *args, **kwargs):
+        from .ops import fusion
+
+        if fusion.is_fused(a) or fusion.is_fused(b):
+            name = _FUSABLE.get(fn.__name__)
+            if name is None or args or kwargs:
+                raise TypeError(
+                    f"sm.{fn.__name__} is not supported inside sm.fuse"
+                )
+            return fusion.apply_by_name(name, a, b)
         av = asarray(a).jax() if not jnp.isscalar(a) else a
         bv = asarray(b).jax() if not jnp.isscalar(b) else b
         return Array(fn(av, bv, *args, **kwargs))
@@ -125,10 +162,24 @@ def _wrap2(fn):
 transpose = _wrap1(jnp.transpose)
 reshape = _wrap1(jnp.reshape)
 repeat = _wrap1(jnp.repeat)
-sum = _wrap1(jnp.sum)  # noqa: A001 - numpy-style namespace
-mean = _wrap1(jnp.mean)
-max = _wrap1(jnp.max)  # noqa: A001
-min = _wrap1(jnp.min)  # noqa: A001
+
+
+def _reduce_free(name):
+    """Free-function reductions route through the SAME engine as the Array
+    methods (full-array float reductions above the gate hit the Pallas tiled
+    reduction kernel; ``sm.sum(a)`` and ``a.sum()`` are one path)."""
+
+    def fn(a, axis=None, keepdims=False):
+        return getattr(asarray(a), name)(axis=axis, keepdims=keepdims)
+
+    fn.__name__ = name
+    return fn
+
+
+sum = _reduce_free("sum")  # noqa: A001 - numpy-style namespace
+mean = _reduce_free("mean")
+max = _reduce_free("max")  # noqa: A001
+min = _reduce_free("min")  # noqa: A001
 argmax = _wrap1(jnp.argmax)
 argmin = _wrap1(jnp.argmin)
 abs = _wrap1(jnp.abs)  # noqa: A001

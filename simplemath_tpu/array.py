@@ -432,7 +432,21 @@ class Array:
         return self._full_reduce("min", axis, keepdims, jnp.min)
 
     def mean(self, axis=None, keepdims=False):
-        return Array(jnp.mean(self.jax(), axis=axis, keepdims=keepdims))
+        """Full float means ride the Pallas sum kernel (sum / size); axis
+        or int/f64 means take XLA's native reduce."""
+        buf = self.jax()
+        if axis is None and not keepdims:
+            from .ops import engine, reduction
+
+            if (
+                jnp.issubdtype(buf.dtype, jnp.floating)
+                and buf.dtype != jnp.dtype(jnp.float64)
+                and buf.size > 0
+                and engine.pallas_wanted(buf.shape)
+            ):
+                total = reduction.pallas_reduce(buf, "sum")
+                return Array((total / buf.size).astype(buf.dtype))
+        return Array(jnp.mean(buf, axis=axis, keepdims=keepdims))
 
     # ------------------------------------------------------------ display
     def to_string(self) -> str:

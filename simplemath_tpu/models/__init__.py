@@ -27,6 +27,8 @@ from .rti import (  # noqa: F401
 from .sqp_mpc import (  # noqa: F401
     MPCController,
     SQPConfig,
+    make_scenario_mpc_step,
+    scenario_mpc_solve,
     scenario_mpc_step,
     solve_constrained,
 )

@@ -1,0 +1,316 @@
+"""Fused elementwise expressions: chain sm ops into ONE kernel launch.
+
+The reference's op chain ``sm::pow`` then exp costs one full pass over the
+data per op (each ``element_wise_op`` call is its own OpenMP/SIMD loop,
+include/math/calculate.h:5-99) — and so did this framework's public ops
+through round 2: ``sm.exp(sm.pow(a, e))`` launched two Pallas kernels, i.e.
+two HBM round-trips, losing to XLA's automatic fusion by 7x on the
+BASELINE.json configs[1] pipeline.
+
+``sm.fuse`` is the TPU-native fusion story: it traces a user function built
+from sm ops over symbolic ``FusedExpr`` nodes and composes their TILE-level
+implementations (the same ``tile_fn``s the registry/transcendental layer
+feeds the generic elementwise kernel) into a single function, executed by
+ONE ``pallas_elementwise`` launch — one read of each operand, one write of
+the output, with broadcasting still handled by BlockSpec index maps so
+broadcast operands are never materialized::
+
+    fused = sm.fuse(lambda a, e: sm.exp(sm.pow(a, e)))
+    y = fused(a, e_row)        # ONE kernel launch; e_row (1, n) broadcasts
+
+The composed expression is cached per input signature (shapes + dtypes), so
+repeated calls reuse the same tile function object and hit the kernel-build
+cache (ops/elementwise.py keys on tile-fn identity).
+
+Supported inside a fused function: the registered elementwise ops
+(+ - * / // % maximum minimum negative abs sqrt square, comparisons),
+``sm.exp/log/exp2/log2`` and ``sm.pow`` (static-integer exponents
+specialize to repeated squaring, exactly like the public path), with Python
+scalars as constants.  Array-valued constants must be passed as arguments
+to the fused function — every array the kernel reads has to be an operand.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..array import Array, as_jax
+from ..config import config
+
+
+def _leaf_fn(i: int) -> Callable:
+    def leaf(*args):
+        return args[i]
+
+    return leaf
+
+
+class FusedExpr:
+    """Symbolic node of a fused elementwise expression.
+
+    ``fn(*all_operands)`` computes this node's value from the fused
+    function's input arrays (or their VMEM tiles, inside the kernel); all
+    nodes of one trace share the same operand signature ``specs``.
+    """
+
+    __slots__ = ("fn", "specs", "_aval")
+
+    def __init__(self, fn: Callable, specs: Tuple[jax.ShapeDtypeStruct, ...]):
+        self.fn = fn
+        self.specs = specs
+        self._aval = None
+
+    @property
+    def aval(self) -> jax.ShapeDtypeStruct:
+        if self._aval is None:
+            self._aval = jax.eval_shape(lambda args: self.fn(*args), self.specs)
+        return self._aval
+
+    @property
+    def shape(self):
+        return self.aval.shape
+
+    @property
+    def dtype(self):
+        return self.aval.dtype
+
+    # ------------------------------------------------------------ operators
+    def __add__(self, o):
+        return binary_node("add", self, o)
+
+    def __radd__(self, o):
+        return binary_node("add", o, self)
+
+    def __sub__(self, o):
+        return binary_node("subtract", self, o)
+
+    def __rsub__(self, o):
+        return binary_node("subtract", o, self)
+
+    def __mul__(self, o):
+        return binary_node("multiply", self, o)
+
+    def __rmul__(self, o):
+        return binary_node("multiply", o, self)
+
+    def __truediv__(self, o):
+        return binary_node("divide", self, o)
+
+    def __rtruediv__(self, o):
+        return binary_node("divide", o, self)
+
+    def __floordiv__(self, o):
+        return binary_node("floor_divide", self, o)
+
+    def __mod__(self, o):
+        return binary_node("remainder", self, o)
+
+    def __pow__(self, o):
+        return pow_node(self, o)
+
+    def __neg__(self):
+        return unary_node("negative", self)
+
+    def __abs__(self):
+        return unary_node("abs", self)
+
+    # ---------------------------------------------------------- materialize
+    def materialize(self, operands) -> Array:
+        from . import elementwise, engine
+
+        out_shape = self.shape
+        out_dtype = self.dtype
+        in_dtypes = tuple(o.dtype for o in operands)
+        if engine.pallas_wanted(out_shape) and elementwise.supported(
+            out_shape, in_dtypes, out_dtype
+        ):
+            return Array(
+                elementwise.pallas_elementwise(
+                    self.fn, out_shape, out_dtype, *operands, name="fused"
+                )
+            )
+        return Array(jnp.asarray(self.fn(*operands)).astype(out_dtype))
+
+
+def is_fused(x) -> bool:
+    return isinstance(x, FusedExpr)
+
+
+def _lift(x, specs) -> FusedExpr:
+    """Coerce a python scalar to a constant node; reject array constants."""
+    if isinstance(x, FusedExpr):
+        return x
+    if isinstance(x, (bool, int, float, complex, np.number)):
+        const = x
+
+        def fn(*args):
+            return const
+
+        return FusedExpr(fn, specs)
+    if isinstance(x, (np.ndarray, jax.Array, Array)) and np.ndim(x) == 0:
+        const = jnp.asarray(as_jax(x))
+
+        def fn(*args):
+            return const
+
+        return FusedExpr(fn, specs)
+    raise TypeError(
+        "fused expressions only accept Python scalars as constants; pass "
+        f"array values (got {type(x).__name__}) as arguments to the fused "
+        "function so the kernel reads them as operands"
+    )
+
+
+def binary_node(name: str, a, b) -> FusedExpr:
+    from . import registry
+
+    if name == "pow":
+        return pow_node(a, b)
+    specs = (a if isinstance(a, FusedExpr) else b).specs
+    a = _lift(a, specs)
+    b = _lift(b, specs)
+    tile = registry.get_op(name).tile()
+    fa, fb = a.fn, b.fn
+
+    def fn(*args):
+        return tile(fa(*args), fb(*args))
+
+    return FusedExpr(fn, specs)
+
+
+# Unary transcendental names -> f32 tile implementation (f64 nodes fall back
+# to the jnp op — the polynomial kernels are f32-grade, matching
+# transcendental._dispatch_unary).
+def _trans_impls():
+    from . import transcendental as t
+
+    return {
+        "exp": (t.exp_f32, jnp.exp),
+        "log": (t.log_f32, jnp.log),
+        "exp2": (t.exp2_f32, jnp.exp2),
+        "log2": (t.log2_f32, jnp.log2),
+    }
+
+
+def unary_node(name: str, a: FusedExpr) -> FusedExpr:
+    from . import registry
+
+    if not isinstance(a, FusedExpr):
+        raise TypeError(f"unary fused op {name!r} requires a FusedExpr")
+    impls = _trans_impls()
+    if name in impls:
+        impl_f32, impl_jnp = impls[name]
+        if a.dtype == jnp.dtype(jnp.float64):
+            tile = impl_jnp
+        else:
+            out_dt = (
+                a.dtype
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else jnp.dtype(jnp.float32)
+            )
+
+            def tile(v):
+                return impl_f32(v.astype(jnp.float32)).astype(out_dt)
+
+    else:
+        tile = registry.get_op(name).tile()
+    fa = a.fn
+
+    def fn(*args):
+        return tile(fa(*args))
+
+    return FusedExpr(fn, a.specs)
+
+
+def pow_node(a, b) -> FusedExpr:
+    """Fused ``sm.pow`` — same specialization ladder as the public
+    ``engine.pow``: int^int takes the crafted square-and-multiply kernel,
+    float with a static small-integer exponent takes exact repeated
+    squaring, everything else the correct-range-reduction float pow."""
+    from . import engine, transcendental
+
+    specs = (a if isinstance(a, FusedExpr) else b).specs
+    a = _lift(a, specs)
+    a_float = jnp.issubdtype(a.dtype, jnp.floating)
+    if (
+        isinstance(b, (int, float))
+        and not isinstance(b, bool)
+        and float(b) == int(b)
+        and abs(int(b)) <= 64
+        and a_float
+    ):
+        e = int(b)
+        fa = a.fn
+
+        def fn(*args):
+            return engine._static_int_pow(fa(*args), e)
+
+        return FusedExpr(fn, specs)
+    b = _lift(b, specs)
+    if jnp.issubdtype(a.dtype, jnp.integer) and jnp.issubdtype(b.dtype, jnp.integer):
+        fa, fb = a.fn, b.fn
+
+        def fn(*args):
+            return transcendental.ipow_tile(fa(*args), fb(*args))
+
+        return FusedExpr(fn, specs)
+    out_dt = jnp.promote_types(a.dtype, b.dtype)
+    if not jnp.issubdtype(out_dt, jnp.floating):
+        out_dt = jnp.dtype(jnp.float32)
+    if out_dt == jnp.dtype(jnp.float64):
+        fa, fb = a.fn, b.fn
+
+        def fn(*args):
+            return jnp.power(fa(*args), fb(*args))
+
+        return FusedExpr(fn, specs)
+    fa, fb = a.fn, b.fn
+
+    def fn(*args):
+        return transcendental.pow_f32(
+            fa(*args).astype(jnp.float32), fb(*args).astype(jnp.float32)
+        ).astype(out_dt)
+
+    return FusedExpr(fn, specs)
+
+
+def apply_by_name(name: str, *args) -> FusedExpr:
+    """Dispatch hook for the free-function layer (api._wrap1/_wrap2)."""
+    if len(args) == 1:
+        return unary_node(name, args[0])
+    return binary_node(name, *args)
+
+
+def fuse(fn: Callable) -> Callable:
+    """Wrap ``fn`` (built from sm ops) so calls execute as ONE fused kernel.
+
+    The returned function accepts Arrays / jax arrays / numpy arrays; the
+    expression is traced once per input signature and cached, so the fused
+    tile function is a stable object across calls (kernel-build cache hits).
+    """
+    cache = {}
+
+    @functools.wraps(fn)
+    def fused(*arrays):
+        ops = [jnp.asarray(as_jax(a)) for a in arrays]
+        key = tuple((tuple(o.shape), jnp.dtype(o.dtype).name) for o in ops)
+        expr = cache.get(key)
+        if expr is None:
+            specs = tuple(jax.ShapeDtypeStruct(o.shape, o.dtype) for o in ops)
+            leaves = [FusedExpr(_leaf_fn(i), specs) for i in range(len(ops))]
+            expr = fn(*leaves)
+            if not isinstance(expr, FusedExpr):
+                raise TypeError(
+                    "the function passed to sm.fuse must return a fused "
+                    f"expression built from sm ops; got {type(expr).__name__}"
+                )
+            expr.aval  # force shape/dtype inference at trace time
+            cache[key] = expr
+        return expr.materialize(ops)
+
+    return fused

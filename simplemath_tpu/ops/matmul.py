@@ -15,9 +15,10 @@ MXU (XLA's DEFAULT f32 dot does the same single-pass truncation, which is
 why it runs at bf16 speed); ``precision="highest"`` keeps true f32 passes.
 Off-TPU (interpret mode) both are exact f32.
 
-Used by ``engine.dot`` for large float matmuls on TPU; everything else
-(small, higher-rank, complex, f64) lowers through ``lax.dot_general``, which
-is already MXU-optimal for those cases.
+Used by ``engine.dot`` for large bf16 matmuls on TPU (the dtype where it
+beats XLA dot — see the measured-routing note at ``_DEFAULT_BLOCKS``);
+everything else (f32, small, higher-rank, complex, f64) lowers through
+``lax.dot_general``, which measures faster there.
 """
 
 from __future__ import annotations
@@ -194,11 +195,14 @@ def _build_bmm(
     )
 
 
-# Tuned on v5e at 2048^3 with steady-state (loop-differenced) timing:
-# bf16 (1024, 2048, 1024) reaches 192 TF/s (97% of the 197 TF/s MXU peak,
-# ahead of XLA dot's 180); f32 with precision="default" rides the same
-# bf16 MXU path (XLA's DEFAULT f32 dot also truncates — its ~186 TF/s IS
-# bf16 speed); f32 precision="highest" (512, 2048, 512) reaches ~145 TF/s.
+# Tuned on v5e at 2048^3 with steady-state (loop-differenced) timing
+# (re-measured round 3): bf16 (1024, 2048, 1024) reaches 195.8 TF/s (99%
+# of the 197 TF/s MXU peak, vs jnp.dot's 167.5) — this is the only dtype
+# the PUBLIC paths route here (engine.dot/matmul).  The f32 in-kernel
+# bf16-truncation route measured 126 TF/s vs jnp.dot default's ~200:
+# public f32 therefore goes to XLA dot, and this kernel's f32 modes remain
+# for explicit calls only; f32 precision="highest" runs ~29-30 TF/s on
+# both engines (6-pass exact f32).
 _DEFAULT_BLOCKS = {
     jnp.dtype(jnp.bfloat16): (1024, 2048, 1024),
     jnp.dtype(jnp.float32): (512, 2048, 512),
@@ -252,8 +256,13 @@ def pallas_matmul(
         )
     # Mosaic requires each block's trailing two dims divisible by the
     # hardware tile (sublane, 128) unless equal to the array dim; arrays are
-    # padded to block multiples below, so rounding the blocks suffices.
-    sub = 16 if jnp.dtype(a.dtype) == jnp.dtype(jnp.bfloat16) else 8
+    # padded to block multiples below, so rounding the blocks suffices.  The
+    # output block (bm, bn) must satisfy the OUT dtype's sublane size too
+    # (bf16 output from f32 inputs needs 16-aligned bm).
+    def _sublane(dt):
+        return 16 if jnp.dtype(dt) == jnp.dtype(jnp.bfloat16) else 8
+
+    sub = max(_sublane(a.dtype), _sublane(out_dtype))
     bm = _round_up(min(block_m or dbm, M), sub)
     bk = _round_up(min(block_k or dbk, K), 128)
     bn = _round_up(min(block_n or dbn, N), 128)

@@ -134,6 +134,12 @@ def run_elastic(
     resumed = resume_state(config.directory, like=init_state)
     if resumed is not None and resumed[1] > start_step:
         state, step = resumed
+        if step > n_steps:
+            raise ValueError(
+                f"checkpoint in {config.directory} is at step {step}, beyond "
+                f"the requested n_steps={n_steps}; refusing to return an "
+                f"overshot state — pass a larger n_steps or a fresh directory"
+            )
     else:
         state, step = init_state, start_step
         save_state(config.directory, state, step, keep=config.keep)
@@ -174,6 +180,10 @@ def run_elastic(
             # Device/runtime failure (preemption, tunnel loss, OOM, or an
             # injected fault).  Resume from the last on-disk checkpoint —
             # NOT from `good_state`, which may live on the failed device.
+            # The restart resets the corruption-attempt history: a transient
+            # corruption seen after the restart is a fresh first detection,
+            # not a repeat of one seen before the failure.
+            corrupt_at = None
             restarts += 1
             if restarts > config.max_restarts:
                 raise RestartBudgetExceeded(

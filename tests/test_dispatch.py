@@ -94,6 +94,32 @@ def test_max_min_route_to_pallas_reduce(rng):
     assert float(mn.jax()) == x.min()
 
 
+def test_free_function_reductions_hit_same_kernel(rng):
+    """sm.sum/max/min/mean and the Array methods are ONE path (round-2
+    VERDICT item 8): the free spelling must hit the same Pallas reduce
+    kernel, not a silent jnp re-export."""
+    x = rng.normal(size=(128, 200)).astype(np.float32)
+    s_meth = sm.Array(x).sum()
+    dispatch.reset()
+    s_free = sm.sum(sm.Array(x))
+    assert dispatch.count("reduce", "sum") == 1
+    sm.max(sm.Array(x))
+    assert dispatch.count("reduce", "max") == 1
+    sm.min(sm.Array(x))
+    assert dispatch.count("reduce", "min") == 1
+    m = sm.mean(sm.Array(x))
+    assert dispatch.count("reduce", "sum") == 2  # mean rides the sum kernel
+    np.testing.assert_allclose(float(s_free.jax()), x.sum(), rtol=1e-5)
+    np.testing.assert_allclose(float(s_meth.jax()), x.sum(), rtol=1e-5)
+    np.testing.assert_allclose(float(m.jax()), x.mean(), rtol=1e-5)
+    assert m.dtype == np.float32
+    # axis reductions through the free functions stay on XLA
+    dispatch.reset()
+    out = sm.sum(sm.Array(x), axis=0)
+    assert dispatch.count("reduce", "sum") == 0
+    np.testing.assert_allclose(out.numpy(), x.sum(axis=0), rtol=1e-4, atol=1e-4)
+
+
 def test_axis_and_int_reductions_stay_on_xla(rng):
     x = rng.normal(size=(8, 16)).astype(np.float32)
     sm.Array(x).sum(axis=0)

@@ -1,0 +1,152 @@
+"""Tests for sm.fuse — single-kernel fused elementwise chains.
+
+The reference has no fusion story at all (every op is its own OpenMP/SIMD
+pass, include/math/calculate.h:5-99); sm.fuse is the TPU-native answer to
+the BASELINE configs[1] fused broadcast+pow+exp pipeline.  Correctness
+oracle: the same chain as plain jnp ops in float64.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import simplemath_tpu as sm
+from simplemath_tpu.config import config
+from simplemath_tpu.ops import dispatch, elementwise, fusion
+
+
+@pytest.fixture(autouse=True)
+def _reset_dispatch():
+    dispatch.reset()
+    yield
+    dispatch.reset()
+
+
+def _force_pallas():
+    old = config.kernel_backend
+    config.kernel_backend = "pallas"
+    return old
+
+
+def test_fused_exp_pow_matches_jnp(rng):
+    a = rng.uniform(0.5, 2.0, (32, 64)).astype(np.float32)
+    e = rng.uniform(-2.0, 2.0, (1, 64)).astype(np.float32)
+    fused = sm.fuse(lambda x, y: sm.exp(sm.pow(x, y)))
+    got = np.asarray(fused(sm.Array(a), sm.Array(e)).jax())
+    want = np.exp(np.power(a.astype(np.float64), e.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+
+
+def test_fused_single_kernel_launch(rng):
+    old = _force_pallas()
+    try:
+        a = rng.uniform(0.5, 2.0, (16, 256)).astype(np.float32)
+        e = rng.uniform(-1.0, 1.0, (1, 256)).astype(np.float32)
+        fused = sm.fuse(lambda x, y: sm.exp(sm.pow(x, y)))
+        dispatch.reset()
+        fused(a, e)
+        counts = dispatch.counts()
+        # Exactly ONE elementwise launch, and it is the fused kernel.
+        ew = {k: v for k, v in counts.items() if k.startswith("elementwise:")}
+        assert ew == {"elementwise:fused": 1}, counts
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_signature_cache_stable(rng):
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((8, 128)).astype(np.float32)
+        b = rng.standard_normal((8, 128)).astype(np.float32)
+        fused = sm.fuse(lambda x, y: sm.add(sm.multiply(x, y), 1.0))
+        fused(a, b)
+        n_tiles = elementwise.tile_registry_size()
+        hits0 = elementwise.build_cache_info().hits
+        fused(a, b)
+        fused(a, b)
+        assert elementwise.tile_registry_size() == n_tiles
+        assert elementwise.build_cache_info().hits >= hits0 + 2
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_operators_and_constants(rng):
+    a = rng.standard_normal((4, 32)).astype(np.float32)
+    b = rng.standard_normal((4, 32)).astype(np.float32)
+    fused = sm.fuse(lambda x, y: (x * 2.0 + y) / (sm.sqrt(sm.square(x) + 1.0)))
+    got = np.asarray(fused(a, b).jax())
+    want = (a * 2.0 + b) / np.sqrt(a * a + 1.0)
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_fused_static_int_pow_exact():
+    a = np.array([[1.5, -2.0, 3.0, 0.5]], dtype=np.float32)
+    fused = sm.fuse(lambda x: sm.pow(x, 3))
+    got = np.asarray(fused(a).jax())
+    np.testing.assert_array_equal(got, a**3)
+
+
+def test_fused_int_pow_edge_semantics():
+    base = np.array([[0, 1, -1, 2, -3]], dtype=np.int32)
+    expo = np.array([[5, -4, -3, 3, 2]], dtype=np.int32)
+    fused = sm.fuse(lambda x, y: sm.pow(x, y))
+    got = np.asarray(fused(base, expo).jax())
+    # reference crafted_pow negative-exponent table: 0 except bases +-1
+    np.testing.assert_array_equal(got, np.array([[0, 1, -1, 8, 9]]))
+
+
+def test_fused_broadcast_not_materialized(rng):
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((64, 256)).astype(np.float32)
+        row = rng.standard_normal((1, 256)).astype(np.float32)
+        fused = sm.fuse(lambda x, r: x * r + r)
+        got = np.asarray(fused(a, row).jax())
+        np.testing.assert_allclose(got, a * row + row, rtol=1e-6, atol=1e-6)
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_rejects_array_constant(rng):
+    a = rng.standard_normal((4, 4)).astype(np.float32)
+    captured = np.ones((4, 4), np.float32)
+    fused = sm.fuse(lambda x: sm.add(x, captured))
+    with pytest.raises(TypeError, match="arguments to the fused"):
+        fused(a)
+
+
+def test_fused_rejects_non_expr_return():
+    fused = sm.fuse(lambda x: 42)
+    with pytest.raises(TypeError, match="must return a fused"):
+        fused(np.ones((2, 2), np.float32))
+
+
+def test_fused_unsupported_op_raises(rng):
+    a = rng.standard_normal((4, 4)).astype(np.float32)
+    fused = sm.fuse(lambda x: sm.sort(x))
+    with pytest.raises(TypeError, match="not supported inside sm.fuse"):
+        fused(a)
+
+
+def test_fused_under_jit(rng):
+    a = rng.uniform(0.5, 2.0, (16, 128)).astype(np.float32)
+    e = rng.uniform(-1.0, 1.0, (1, 128)).astype(np.float32)
+    fused = sm.fuse(lambda x, y: sm.exp(sm.pow(x, y)))
+
+    @jax.jit
+    def f(x, y):
+        return fused(x, y).jax()
+
+    got = np.asarray(f(a, e))
+    want = np.exp(np.power(a.astype(np.float64), e.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+
+
+def test_fused_transcendental_accuracy_at_reference_failure_points():
+    # exp below 1.1 and log at 3.0 — the reference's documented bugs
+    # (README.md:8-10) must hold inside fused chains too.
+    x = np.array([[0.1, 0.5, 1.0, 1.09, 3.0]], dtype=np.float32)
+    fused = sm.fuse(lambda v: sm.log(sm.exp(v)))
+    got = np.asarray(fused(x).jax())
+    np.testing.assert_allclose(got, x, rtol=3e-6, atol=3e-7)

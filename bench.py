@@ -389,15 +389,20 @@ def bench_fused_pipeline(n=2048):
     from simplemath_tpu.ops import dispatch
 
     shape = (n, n)
+    # The WHOLE loop body is one fused kernel with the carry donated: the
+    # decay, perturbation add, broadcast pow and exp execute in a single
+    # launch that writes the carry in place (one read of a + one
+    # read/write of acc per iteration).
     fused = sm.fuse(
-        lambda a, eps, e_row: sm.exp(sm.pow(sm.add(a, eps), e_row))
+        lambda acc, a, e_row: acc * np.float32(1e-3)
+        + sm.exp(sm.pow(a + acc * np.float32(1e-6), e_row)),
+        donate=0,
     )
 
     def build_run_fused(L):
         def run(a, e_row):
             def body(i, acc):
-                y = fused(a, acc * np.float32(1e-6), e_row)
-                return acc * np.float32(1e-3) + y.jax()
+                return fused(acc, a, e_row).jax()
 
             return jax.lax.fori_loop(0, L, body, jnp.zeros_like(a))
 
@@ -432,10 +437,10 @@ def bench_fused_pipeline(n=2048):
         )
 
     dispatch.reset()
-    t_sm = _per_iter_time(build_run_fused, make_args, 8, 136)
+    t_sm = _per_iter_time(build_run_fused, make_args, 16, 400)
     one_launch = dispatch.count("elementwise", "fused") > 0
-    t_chain = _per_iter_time(build_run_chain, make_args, 8, 136)
-    t_xla = _per_iter_time(build_run_xla, make_args, 8, 136)
+    t_chain = _per_iter_time(build_run_chain, make_args, 16, 400)
+    t_xla = _per_iter_time(build_run_xla, make_args, 16, 400)
     return {
         "shape": list(shape),
         "time_s": t_sm,

@@ -103,11 +103,12 @@ def log2(a) -> Array:
     return _transcendental_unary("log2", a)
 
 
-def fuse(fn):
-    """Fuse a chain of sm ops into one kernel launch (ops/fusion.py)."""
+def fuse(fn, donate=None):
+    """Fuse a chain of sm ops into one kernel launch (ops/fusion.py).
+    ``donate=i`` writes the output in place over input ``i``."""
     from .ops import fusion
 
-    return fusion.fuse(fn)
+    return fusion.fuse(fn, donate=donate)
 
 
 # --------------------------------------------------------------------------
@@ -182,22 +183,37 @@ max = _reduce_free("max")  # noqa: A001
 min = _reduce_free("min")  # noqa: A001
 argmax = _wrap1(jnp.argmax)
 argmin = _wrap1(jnp.argmin)
-abs = _wrap1(jnp.abs)  # noqa: A001
-sqrt = _wrap1(jnp.sqrt)
-square = _wrap1(jnp.square)
+# Unary ops with a registry entry go through the SAME engine as the Array
+# operators (Pallas kernel above the gate, XLA below) — one path per op,
+# and they compose with sm.fuse.
+def _unary_engine(name):
+    def fn(a):
+        return engine.unary(name, a)
+
+    fn.__name__ = name
+    return fn
+
+
+abs = _unary_engine("abs")  # noqa: A001
+sqrt = _unary_engine("sqrt")
+square = _unary_engine("square")
+negative = _unary_engine("negative")
 sin = _wrap1(jnp.sin)
 cos = _wrap1(jnp.cos)
 tan = _wrap1(jnp.tan)
 tanh = _wrap1(jnp.tanh)
-negative = _wrap1(jnp.negative)
 sign = _wrap1(jnp.sign)
 clip = _wrap1(jnp.clip)
 cumsum = _wrap1(jnp.cumsum)
 sort = _wrap1(jnp.sort)
 expand_dims = _wrap1(jnp.expand_dims)
 squeeze = _wrap1(jnp.squeeze)
-maximum = _wrap2(jnp.maximum)
-minimum = _wrap2(jnp.minimum)
+def maximum(a, b) -> Array:
+    return engine.binary("maximum", a, b)
+
+
+def minimum(a, b) -> Array:
+    return engine.binary("minimum", a, b)
 
 
 def matmul(a, b) -> Array:

@@ -55,6 +55,22 @@ class Config:
         default_factory=lambda: _env_int("SM_EW_BLOCK_COLS", 1024)
     )
 
+    # Transcendental implementation for exp/log/pow tiles:
+    # "native"  — jnp/Mosaic ops (hardware-accelerated polynomial-refined
+    #             approximations; measured 3-6x faster in-kernel on v5e and
+    #             bit-identical to XLA's own lowering);
+    # "crafted" — this framework's fdlibm-style range-reduction
+    #             implementations (the from-the-math versions proving the
+    #             reference's admitted exp/log bugs fixed; same accuracy
+    #             class, slower).
+    # exp2/log2 tiles are ALWAYS crafted inside Pallas kernels: Mosaic
+    # lowers jnp.exp2/log2 to the RAW hardware approximation (measured
+    # 4.6e-4 relative error on v5e) — the crafted versions keep them
+    # f32-accurate.  Both impls are accuracy-tested against float64.
+    transcendental_impl: str = dataclasses.field(
+        default_factory=lambda: _env_str("SM_TRANSCENDENTAL", "native")
+    )
+
     # Force Pallas interpret mode (used on CPU test meshes).  None = auto
     # (interpret when the default backend is not TPU).
     pallas_interpret: Optional[bool] = None

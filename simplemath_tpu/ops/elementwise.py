@@ -47,9 +47,16 @@ def _pad_shape(shape: Sequence[int], nd: int) -> tuple:
 
 
 # VMEM working-set budget for the elementwise kernel: all operand+output
-# blocks, double-buffered by the Mosaic pipeline, must fit well under the
-# 16 MiB VMEM (padding of unaligned trailing dims included).
-_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+# blocks, double-buffered by the Mosaic pipeline, must fit under the scoped
+# VMEM limit below (padding of unaligned trailing dims included).
+import os as _os
+
+_VMEM_BUDGET_BYTES = int(
+    _os.environ.get("SM_EW_VMEM_BUDGET", 6 * 1024 * 1024)
+)
+# Scoped VMEM ceiling handed to Mosaic (v5e has 128 MiB; the default scoped
+# limit is 16 MiB, too small for wide double-buffered blocks).
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -83,7 +90,10 @@ def _compiler_params(grid_len: int):
         cp = pltpu.CompilerParams  # jax >= 0.5
     except AttributeError:  # pragma: no cover - older jax
         cp = pltpu.TPUCompilerParams
-    return cp(dimension_semantics=("parallel",) * grid_len)
+    return cp(
+        dimension_semantics=("parallel",) * grid_len,
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES,
+    )
 
 
 @functools.lru_cache(maxsize=512)
@@ -109,8 +119,11 @@ def _build_call_1d(
         [jnp.dtype(out_dtype).itemsize] + [jnp.dtype(d).itemsize for d in in_dtypes]
     )
     n_buffers = len(in_shapes) + 1
+    # Mosaic tiles 1-D arrays in (sublane*128)-element units (1024 for f32,
+    # 4096 for int8); blocks must be tiling-divisible unless equal to the
+    # full array — 4096 covers every dtype.
     cap = _VMEM_BUDGET_BYTES // (itemsize * n_buffers * 2)
-    cap = max(128, (cap // 128) * 128)
+    cap = max(4096, (cap // 4096) * 4096)
     bn = n if n <= cap else cap
     grid = (_cdiv(n, bn),)
     zero = np.int32(0)

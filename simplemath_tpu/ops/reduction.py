@@ -65,28 +65,39 @@ def _sequential_params(interpret: bool):
 
 
 def _block_1d(n: int, itemsize: int, n_inputs: int) -> int:
-    # n_inputs double-buffered input blocks + one f32 accumulator.
+    # n_inputs double-buffered input blocks + one f32 accumulator.  Mosaic
+    # tiles 1-D arrays in (sublane*128)-element units (1024 for f32, up to
+    # 4096 for int8) and requires block shapes divisible by the tiling
+    # unless they equal the full array; 4096 covers every dtype.
     per_elem = itemsize * 2 * n_inputs + 4
-    cap = max(128, (_VMEM_BUDGET_BYTES // per_elem) // 128 * 128)
+    cap = max(4096, (_VMEM_BUDGET_BYTES // per_elem) // 4096 * 4096)
     return n if n <= cap else cap
 
 
 @functools.lru_cache(maxsize=128)
 def _build_reduce_1d(kind, n, bn, in_dtype, interpret):
+    # Ragged masking: a 1-D (bn,) index operand pinned to block 0 (fetched
+    # into VMEM once — constant block index — and reused every step).  An
+    # in-kernel (bn, 1) iota is NOT usable here: Mosaic lays it out with
+    # 128 padded lanes per sublane, i.e. bn*128*4 bytes of vregs.
     tile_reduce, combine, init = _REDUCERS[kind]
     grid = (_cdiv(n, bn),)
     last = np.int32(grid[0] - 1)
     ragged = n % bn != 0
 
-    def kernel(x_ref, out_ref, acc_ref):
+    def kernel(*refs):
+        if ragged:
+            x_ref, idx_ref, out_ref, acc_ref = refs
+        else:
+            x_ref, out_ref, acc_ref = refs
+
         @pl.when(pl.program_id(0) == 0)
         def _init():
             acc_ref[...] = jnp.full_like(acc_ref, init)
 
         x = x_ref[...].astype(jnp.float32)
         if ragged:
-            idx = jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0).squeeze(-1)
-            gid = pl.program_id(0) * np.int32(bn) + idx
+            gid = pl.program_id(0) * np.int32(bn) + idx_ref[...]
             x = jnp.where(gid < np.int32(n), x, jnp.float32(init))
         acc_ref[...] = combine(acc_ref[...], x)
 
@@ -94,16 +105,21 @@ def _build_reduce_1d(kind, n, bn, in_dtype, interpret):
         def _finish():
             out_ref[0, 0] = tile_reduce(acc_ref[...])
 
+    in_specs = [pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM)]
+    if ragged:
+        in_specs.append(
+            pl.BlockSpec((bn,), lambda i: (_Z,), memory_space=pltpu.VMEM)
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((bn,), jnp.float32)],
         compiler_params=_sequential_params(interpret),
         interpret=interpret,
-    )
+    ), ragged
 
 
 @functools.lru_cache(maxsize=128)
@@ -160,26 +176,35 @@ def pallas_reduce(x, kind: str = "sum", block_rows: int = 512):
         flat = x if x.ndim == 1 else jnp.ravel(x)
         n = flat.shape[0]
         bn = _block_1d(n, itemsize, n_inputs=1)
-        call = _build_reduce_1d(kind, n, bn, jnp.dtype(x.dtype), interpret)
-        out = call(flat)
+        call, ragged = _build_reduce_1d(kind, n, bn, jnp.dtype(x.dtype), interpret)
+        if ragged:
+            out = call(flat, jnp.arange(bn, dtype=jnp.int32))
+        else:
+            out = call(flat)
     return out[0, 0].astype(jnp.promote_types(x.dtype, jnp.float32))
 
 
 @functools.lru_cache(maxsize=64)
 def _build_dot1d(n, bn, in_dtype, interpret):
+    # Ragged masking via a (bn,) index operand pinned to block 0 — see the
+    # layout note in _build_reduce_1d.
     grid = (_cdiv(n, bn),)
     last = np.int32(grid[0] - 1)
     ragged = n % bn != 0
 
-    def kernel(a_ref, b_ref, out_ref, acc_ref):
+    def kernel(*refs):
+        if ragged:
+            a_ref, b_ref, idx_ref, out_ref, acc_ref = refs
+        else:
+            a_ref, b_ref, out_ref, acc_ref = refs
+
         @pl.when(pl.program_id(0) == 0)
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         prod = a_ref[...].astype(jnp.float32) * b_ref[...].astype(jnp.float32)
         if ragged:
-            idx = jax.lax.broadcasted_iota(jnp.int32, (bn, 1), 0).squeeze(-1)
-            gid = pl.program_id(0) * np.int32(bn) + idx
+            gid = pl.program_id(0) * np.int32(bn) + idx_ref[...]
             prod = jnp.where(gid < np.int32(n), prod, jnp.float32(0.0))
         acc_ref[...] = acc_ref[...] + prod
 
@@ -188,16 +213,21 @@ def _build_dot1d(n, bn, in_dtype, interpret):
             out_ref[0, 0] = jnp.sum(acc_ref[...])
 
     spec = pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM)
+    in_specs = [spec, spec]
+    if ragged:
+        in_specs.append(
+            pl.BlockSpec((bn,), lambda i: (_Z,), memory_space=pltpu.VMEM)
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
-        in_specs=[spec, spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
         scratch_shapes=[pltpu.VMEM((bn,), jnp.float32)],
         compiler_params=_sequential_params(interpret),
         interpret=interpret,
-    )
+    ), ragged
 
 
 def pallas_dot1d(a, b):
@@ -211,6 +241,9 @@ def pallas_dot1d(a, b):
     assert a.ndim == 1 and a.shape == b.shape
     n = a.shape[0]
     bn = _block_1d(n, jnp.dtype(a.dtype).itemsize, n_inputs=2)
-    call = _build_dot1d(n, bn, jnp.dtype(a.dtype), config.interpret_mode())
-    out = call(a, b)
+    call, ragged = _build_dot1d(n, bn, jnp.dtype(a.dtype), config.interpret_mode())
+    if ragged:
+        out = call(a, b, jnp.arange(bn, dtype=jnp.int32))
+    else:
+        out = call(a, b)
     return out[0, 0].astype(jnp.promote_types(jnp.result_type(a, b), jnp.float32))

@@ -298,28 +298,39 @@ def ipow_tile(base, exponent):
 
 
 # ------------------------------------------------------------- dispatchers
-_UNARY_IMPLS = {}  # name -> f32 implementation, for the tile factory
+# Crafted (fdlibm-style, from-the-math) f32 implementations, and the native
+# jnp spelling of each.  config.transcendental_impl picks the tile: native
+# exp/log/pow are 3-6x faster in-kernel on v5e (Mosaic lowers them to the
+# hardware-accelerated refined approximations, bit-identical to XLA) —
+# EXCEPT exp2/log2, which Mosaic lowers to the raw ~8-bit hardware
+# approximation (measured 4.6e-4 rel err), so those stay crafted.
+_UNARY_IMPLS = {}  # name -> crafted f32 implementation (filled at bottom)
+_NATIVE_UNARY = {"exp": jnp.exp, "log": jnp.log}
 
 
 @functools.lru_cache(maxsize=None)
-def _unary_tile(name: str, out_dtype_str: str):
-    """STABLE per-(op, out_dtype) tile closure.  The elementwise kernel-build
-    cache keys on the tile function's identity (ops/elementwise.py), so the
-    closure must be one object across calls — a fresh closure per dispatch
-    would grow the registry and miss the build cache every time (round-1
-    VERDICT item 5)."""
-    impl = _UNARY_IMPLS[name]
+def _unary_tile(name: str, out_dtype_str: str, impl: str = "native"):
+    """STABLE per-(op, out_dtype, impl) tile closure.  The elementwise
+    kernel-build cache keys on the tile function's identity
+    (ops/elementwise.py), so the closure must be one object across calls —
+    a fresh closure per dispatch would grow the registry and miss the build
+    cache every time (round-1 VERDICT item 5)."""
+    if impl == "native" and name in _NATIVE_UNARY:
+        fn = _NATIVE_UNARY[name]
+    else:
+        fn = _UNARY_IMPLS[name]
     out_dtype = jnp.dtype(out_dtype_str)
 
     def tile(v):
-        return impl(v.astype(jnp.float32)).astype(out_dtype)
+        return fn(v.astype(jnp.float32)).astype(out_dtype)
 
     return tile
 
 
 def _dispatch_unary(name, impl_f32, jnp_fn, x):
-    """Run our f32 implementation (directly or via the Pallas kernel); f64
-    falls back to XLA's native op (our polynomials are f32-grade)."""
+    """Run the selected f32 implementation (directly or via the Pallas
+    kernel); f64 falls back to XLA's native op (the crafted polynomials are
+    f32-grade)."""
     import math as _math
 
     from . import elementwise
@@ -329,7 +340,7 @@ def _dispatch_unary(name, impl_f32, jnp_fn, x):
         return jnp_fn(x)
     _UNARY_IMPLS.setdefault(name, impl_f32)
     out_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.dtype(jnp.float32)
-    tile = _unary_tile(name, jnp.dtype(out_dtype).name)
+    tile = _unary_tile(name, jnp.dtype(out_dtype).name, config.transcendental_impl)
 
     shape = jnp.shape(x)
     if (
@@ -360,12 +371,13 @@ def log2(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _pow_tile(out_dtype_str: str):
-    """Stable per-out-dtype pow tile closure (see _unary_tile)."""
+def _pow_tile(out_dtype_str: str, impl: str = "native"):
+    """Stable per-(out_dtype, impl) pow tile closure (see _unary_tile)."""
     out_dtype = jnp.dtype(out_dtype_str)
+    fn = jnp.power if impl == "native" else pow_f32
 
     def tile(a, b):
-        return pow_f32(a.astype(jnp.float32), b.astype(jnp.float32)).astype(out_dtype)
+        return fn(a.astype(jnp.float32), b.astype(jnp.float32)).astype(out_dtype)
 
     return tile
 
@@ -385,7 +397,7 @@ def pow(x, y):
         out_dtype = jnp.dtype(jnp.float32)
     br = broadcast_shapes(jnp.shape(x), jnp.shape(y))
 
-    tile = _pow_tile(jnp.dtype(out_dtype).name)
+    tile = _pow_tile(jnp.dtype(out_dtype).name, config.transcendental_impl)
 
     use_pallas = config.kernel_backend == "pallas" or (
         jax.default_backend() == "tpu"
@@ -397,3 +409,11 @@ def pow(x, y):
             tile, br.result_shape, out_dtype, x, y, name="pow"
         )
     return tile(x, y)
+
+
+# Crafted implementations registered up front so tile factories work from
+# any entry point (fusion composes tiles without going through the
+# dispatchers above).
+_UNARY_IMPLS.update(
+    {"exp": exp_f32, "log": log_f32, "exp2": exp2_f32, "log2": log2_f32}
+)

@@ -150,3 +150,43 @@ def test_fused_transcendental_accuracy_at_reference_failure_points():
     fused = sm.fuse(lambda v: sm.log(sm.exp(v)))
     got = np.asarray(fused(x).jax())
     np.testing.assert_allclose(got, x, rtol=3e-6, atol=3e-7)
+
+
+def test_fused_donation_in_loop(rng):
+    old = _force_pallas()
+    try:
+        a = rng.uniform(0.5, 2.0, (16, 256)).astype(np.float32)
+        e = rng.uniform(-1.0, 1.0, (1, 256)).astype(np.float32)
+        fused = sm.fuse(
+            lambda acc, x, ee: acc * np.float32(0.5) + sm.exp(sm.pow(x, ee)),
+            donate=0,
+        )
+
+        @jax.jit
+        def run(x, ee):
+            def body(i, acc):
+                return fused(acc, x, ee).jax()
+
+            return jax.lax.fori_loop(0, 3, body, jnp.zeros_like(x))
+
+        got = np.asarray(run(a, e))
+        want = np.zeros_like(a)
+        for _ in range(3):
+            want = want * 0.5 + np.exp(
+                np.power(a.astype(np.float64), e.astype(np.float64))
+            )
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-4)
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_donation_shape_mismatch_raises(rng):
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((8, 128)).astype(np.float32)
+        row = rng.standard_normal((1, 128)).astype(np.float32)
+        fused = sm.fuse(lambda x, r: x + r, donate=1)  # r doesn't match out
+        with pytest.raises(ValueError, match="donated operand"):
+            fused(a, row)
+    finally:
+        config.kernel_backend = old

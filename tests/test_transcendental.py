@@ -163,3 +163,54 @@ def test_pow_infinity_special():
     # 2^inf handled by saturation path.
     got = np.asarray(tc.pow_f32(np.float32(2.0), np.float32(np.inf)))
     assert got == np.inf
+
+
+# ---------------------------------------------------------------- impl modes
+def test_public_path_accuracy_both_impls():
+    """The PUBLIC sm.exp/log/pow meet the same accuracy bar under both
+    transcendental implementations ("native" = jnp/Mosaic hardware-refined,
+    the default; "crafted" = the fdlibm-style range-reduction versions)."""
+    import simplemath_tpu as sm
+    from simplemath_tpu.config import config
+
+    x = np.linspace(0.01, 20.0, 50_001).astype(np.float32)
+    b = np.linspace(0.5, 4.0, 50_001).astype(np.float32)
+    e = np.linspace(-3.0, 3.0, 50_001).astype(np.float32)
+    old = config.transcendental_impl
+    try:
+        for impl in ("native", "crafted"):
+            config.transcendental_impl = impl
+            got_exp = np.asarray(sm.exp(sm.Array(-x / 4)).jax())
+            np.testing.assert_allclose(
+                got_exp, np.exp(-x.astype(np.float64) / 4), rtol=1e-6,
+                err_msg=f"exp impl={impl}",
+            )
+            got_log = np.asarray(sm.log(sm.Array(x)).jax())
+            np.testing.assert_allclose(
+                got_log, np.log(x.astype(np.float64)), rtol=1e-6, atol=1e-7,
+                err_msg=f"log impl={impl}",
+            )
+            got_pow = np.asarray(sm.pow(sm.Array(b), sm.Array(e)).jax())
+            np.testing.assert_allclose(
+                got_pow,
+                np.power(b.astype(np.float64), e.astype(np.float64)),
+                rtol=4e-6,
+                err_msg=f"pow impl={impl}",
+            )
+    finally:
+        config.transcendental_impl = old
+
+
+def test_log_at_3_both_impls():
+    # The reference's log is wrong at exactly 3.0 (README.md:10).
+    import simplemath_tpu as sm
+    from simplemath_tpu.config import config
+
+    old = config.transcendental_impl
+    try:
+        for impl in ("native", "crafted"):
+            config.transcendental_impl = impl
+            got = float(sm.log(sm.Array(np.float32(3.0))).jax())
+            assert abs(got - np.log(3.0)) < 1e-7, impl
+    finally:
+        config.transcendental_impl = old

@@ -56,19 +56,21 @@ class Config:
     )
 
     # Transcendental implementation for exp/log/pow tiles:
-    # "native"  — jnp/Mosaic ops (hardware-accelerated polynomial-refined
-    #             approximations; measured 3-6x faster in-kernel on v5e and
-    #             bit-identical to XLA's own lowering);
+    # "auto"    — per-op choice by MEASURED v5e accuracy/speed:
+    #             exp & pow -> native (XLA/Mosaic hardware-refined, ~5e-6
+    #             rel err, 3-6x faster in-kernel), log/exp2/log2 -> crafted
+    #             (XLA:TPU's own log is only ~6e-5 accurate — wrong at
+    #             log(3) by 6.2e-5, echoing the reference's bug — and
+    #             Mosaic lowers exp2/log2 to the raw ~8-bit hardware
+    #             approximation, 4.6e-4 rel err);
+    # "native"  — jnp ops everywhere (fastest; platform accuracy);
     # "crafted" — this framework's fdlibm-style range-reduction
-    #             implementations (the from-the-math versions proving the
-    #             reference's admitted exp/log bugs fixed; same accuracy
-    #             class, slower).
-    # exp2/log2 tiles are ALWAYS crafted inside Pallas kernels: Mosaic
-    # lowers jnp.exp2/log2 to the RAW hardware approximation (measured
-    # 4.6e-4 relative error on v5e) — the crafted versions keep them
-    # f32-accurate.  Both impls are accuracy-tested against float64.
+    #             implementations everywhere (<=4 ulp across the f32
+    #             domain — the from-the-math versions proving the
+    #             reference's admitted exp/log bugs fixed; slower).
+    # Both impls are accuracy-tested against float64.
     transcendental_impl: str = dataclasses.field(
-        default_factory=lambda: _env_str("SM_TRANSCENDENTAL", "native")
+        default_factory=lambda: _env_str("SM_TRANSCENDENTAL", "auto")
     )
 
     # Force Pallas interpret mode (used on CPU test meshes).  None = auto

@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from .dynamics import System
 
 
+from ..utils.precision import f32_matmuls
+
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
     iterations: int = 10
@@ -80,6 +82,7 @@ def trajectory_cost(system: System, xs, us):
     return jnp.sum(stage) + system.final_cost(xs[-1])
 
 
+@f32_matmuls
 def linearize(system: System, xs, us):
     """Per-step Jacobians of dynamics and gradients/Hessians of cost,
     vmapped over the horizon (all small dense matrices -> MXU batching)."""
@@ -97,6 +100,7 @@ def linearize(system: System, xs, us):
     return A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T
 
 
+@f32_matmuls
 def linearize_soa(system: System, xs, us):
     """Batched linearization in batch-minor SoA layout.
 
@@ -245,6 +249,7 @@ def _solve_psd(M, rhs):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
 
 
+@f32_matmuls
 def backward_sequential(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     """Classic Riccati/DDP backward pass as a reverse lax.scan."""
     nu = B.shape[-1]
@@ -271,6 +276,7 @@ def backward_sequential(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     return ks, Ks
 
 
+@f32_matmuls
 def backward_sequential_soa(A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg):
     """Batched Riccati backward pass in batch-minor (SoA) layout.
 
@@ -422,6 +428,7 @@ def riccati_suffix_scan(full, I_x):
     return jax.tree.map(lambda x: jnp.flip(x, axis=0), scanned)
 
 
+@f32_matmuls
 def backward_associative(
     A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, return_values=False
 ):
@@ -479,6 +486,7 @@ def backward_associative(
     return ks, Ks
 
 
+@f32_matmuls
 def backward_associative_soa(
     A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, reg, return_values=False
 ):
@@ -569,6 +577,7 @@ def backward_associative_soa(
     return back(ks), back(Ks)
 
 
+@f32_matmuls
 def forward_linesearch(system: System, xs, us, ks, Ks, alphas):
     """Closed-loop rollouts at every alpha in parallel; returns best."""
     alphas = jnp.asarray(alphas, dtype=us.dtype)
@@ -593,6 +602,7 @@ def forward_linesearch(system: System, xs, us, ks, Ks, alphas):
     )
 
 
+@f32_matmuls
 def forward_linesearch_soa(system: System, xs, us, ks, Ks, alphas):
     """Batched closed-loop line search in batch-minor SoA layout.
 
@@ -648,6 +658,7 @@ def forward_linesearch_soa(system: System, xs, us, ks, Ks, alphas):
     return xs_new, us_best, cost_best
 
 
+@f32_matmuls
 def solve(
     system: System,
     x0,
@@ -702,6 +713,7 @@ def solve(
     )
 
 
+@f32_matmuls
 def solve_batched(
     system: System, x0_batch, us_init_batch, config: ILQRConfig = ILQRConfig()
 ) -> ILQRResult:

@@ -33,6 +33,8 @@ from .dynamics import System
 from . import ilqr as _ilqr
 
 
+from ..utils.precision import f32_matmuls
+
 @dataclasses.dataclass(frozen=True)
 class RTIConfig:
     reg: float = 1e-6
@@ -53,6 +55,7 @@ class RTIOutput(NamedTuple):
     cost: jax.Array
 
 
+@f32_matmuls
 def affine_scan(A, b, x0):
     """All states of x_{k+1} = A_k x_k + b_k via associative scan.
 
@@ -78,6 +81,7 @@ def linearize_with_defects(system: System, xs, us):
     return A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, d
 
 
+@f32_matmuls
 def backward_associative_defect(
     A, B, lx, lu, lxx, luu, lux, Vx_T, Vxx_T, d, reg
 ):
@@ -163,6 +167,7 @@ def backward_associative_defect(
     return ks, Ks
 
 
+@f32_matmuls
 def rti_tick(
     system: System,
     state: RTIState,
@@ -219,6 +224,7 @@ def rti_init(system: System, x0, horizon: int) -> RTIState:
     return RTIState(xs=xs, us=us)
 
 
+@f32_matmuls
 def rti_closed_loop(
     system: System,
     x0,

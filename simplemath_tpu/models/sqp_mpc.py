@@ -32,6 +32,8 @@ from .dynamics import System
 from . import ilqr as _ilqr
 
 
+from ..utils.precision import f32_matmuls
+
 @dataclasses.dataclass(frozen=True)
 class SQPConfig:
     # Defaults tuned on the pendulum swing-up / quadrotor hover workloads
@@ -69,6 +71,7 @@ def _violation(us, u_min, u_max):
     return jnp.maximum(us - u_max, 0.0) + jnp.maximum(u_min - us, 0.0)
 
 
+@f32_matmuls
 def solve_constrained(
     system: System,
     x0,
@@ -278,6 +281,7 @@ class MPCController:
         self.us_warm = jnp.zeros_like(self.us_warm)
 
 
+@f32_matmuls
 def make_scenario_mpc_step(
     system: System,
     mesh: Mesh,

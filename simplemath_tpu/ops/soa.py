@@ -26,6 +26,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+from ..utils.precision import f32_matmuls
+
 def to_soa(x, n_minor: int):
     """Move a leading batch axis to the back: (B, d1..dk) -> (d1..dk, B).
 
@@ -50,6 +52,7 @@ def transpose(A):
     return jnp.swapaxes(A, -3, -2)
 
 
+@f32_matmuls
 def matmul(A, C):
     """(..., n, k, B) @ (..., k, m, B) -> (..., n, m, B), unrolled over the
     static matrix dims."""
@@ -67,6 +70,7 @@ def matmul(A, C):
     return jnp.stack(rows, axis=-3)
 
 
+@f32_matmuls
 def matvec(A, v):
     """(..., n, k, B) @ (..., k, B) -> (..., n, B)."""
     n, k = A.shape[-3], A.shape[-2]
@@ -79,6 +83,7 @@ def matvec(A, v):
     return jnp.stack(out, axis=-2)
 
 
+@f32_matmuls
 def outer(u, v):
     """(..., n, B), (..., m, B) -> (..., n, m, B)."""
     return u[..., :, None, :] * v[..., None, :, :]
@@ -89,6 +94,7 @@ def eye_like(n: int, template):
     return jnp.eye(n, dtype=template.dtype)[..., None]
 
 
+@f32_matmuls
 def inv(A):
     """Inverse of a (..., n, n, B) stack via unrolled Gauss-Jordan, no
     pivoting.
@@ -128,6 +134,7 @@ def inv(A):
     return out
 
 
+@f32_matmuls
 def solve(A, b):
     """Solve A x = b for a (..., n, n, B) stack; b is (..., n, B) or
     (..., n, m, B)."""

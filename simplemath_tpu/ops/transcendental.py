@@ -305,17 +305,26 @@ def ipow_tile(base, exponent):
 # EXCEPT exp2/log2, which Mosaic lowers to the raw ~8-bit hardware
 # approximation (measured 4.6e-4 rel err), so those stay crafted.
 _UNARY_IMPLS = {}  # name -> crafted f32 implementation (filled at bottom)
-_NATIVE_UNARY = {"exp": jnp.exp, "log": jnp.log}
+_NATIVE_UNARY = {"exp": jnp.exp, "log": jnp.log, "exp2": jnp.exp2, "log2": jnp.log2}
+# "auto" = measured per-op defaults (see config.transcendental_impl): only
+# exp (and pow) are accurate enough natively on TPU.
+_AUTO_NATIVE = frozenset({"exp", "pow"})
+
+
+def _resolve_impl(name: str, impl: str) -> str:
+    if impl == "auto":
+        return "native" if name in _AUTO_NATIVE else "crafted"
+    return impl
 
 
 @functools.lru_cache(maxsize=None)
-def _unary_tile(name: str, out_dtype_str: str, impl: str = "native"):
+def _unary_tile(name: str, out_dtype_str: str, impl: str = "auto"):
     """STABLE per-(op, out_dtype, impl) tile closure.  The elementwise
     kernel-build cache keys on the tile function's identity
     (ops/elementwise.py), so the closure must be one object across calls —
     a fresh closure per dispatch would grow the registry and miss the build
     cache every time (round-1 VERDICT item 5)."""
-    if impl == "native" and name in _NATIVE_UNARY:
+    if _resolve_impl(name, impl) == "native" and name in _NATIVE_UNARY:
         fn = _NATIVE_UNARY[name]
     else:
         fn = _UNARY_IMPLS[name]
@@ -371,10 +380,10 @@ def log2(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _pow_tile(out_dtype_str: str, impl: str = "native"):
+def _pow_tile(out_dtype_str: str, impl: str = "auto"):
     """Stable per-(out_dtype, impl) pow tile closure (see _unary_tile)."""
     out_dtype = jnp.dtype(out_dtype_str)
-    fn = jnp.power if impl == "native" else pow_f32
+    fn = jnp.power if _resolve_impl("pow", impl) == "native" else pow_f32
 
     def tile(a, b):
         return fn(a.astype(jnp.float32), b.astype(jnp.float32)).astype(out_dtype)

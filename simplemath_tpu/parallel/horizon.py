@@ -34,6 +34,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models import ilqr as _ilqr
 
 
+from ..utils.precision import f32_matmuls
+
 def _pad_to_multiple(tree, n_have: int, multiple: int, ident, axis: int = 0):
     """Pad each leaf's ``axis`` from n_have to the next multiple with
     broadcast copies of the identity element."""
@@ -72,6 +74,7 @@ def _block_suffix(local, axis_name: str, ident, I_x):
     return jax.vmap(lambda e: _ilqr.riccati_combine(e, S, I_x))(local_suffix)
 
 
+@f32_matmuls
 def sharded_suffix_scan(mesh: Mesh, axis_name: str, full, nx: int, dtype):
     """Blocked associative suffix scan of a time-leading element pytree,
     sharded over ``axis_name``.  Returns the (unpadded) suffix pytree with
@@ -92,6 +95,7 @@ def sharded_suffix_scan(mesh: Mesh, axis_name: str, full, nx: int, dtype):
     return jax.tree.map(lambda x: x[:n], out)
 
 
+@f32_matmuls
 def sharded_suffix_scan_batched(
     mesh: Mesh,
     time_axis: str,
@@ -121,6 +125,7 @@ def sharded_suffix_scan_batched(
     return jax.tree.map(lambda x: x[:, :n], out)
 
 
+@f32_matmuls
 def backward_associative_sharded_batched(
     mesh: Mesh,
     time_axis: str,
@@ -175,6 +180,7 @@ def backward_associative_sharded_batched(
     return ks, Ks
 
 
+@f32_matmuls
 def backward_associative_sharded(
     mesh: Mesh,
     axis_name: str,

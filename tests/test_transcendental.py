@@ -166,49 +166,66 @@ def test_pow_infinity_special():
 
 
 # ---------------------------------------------------------------- impl modes
-def test_public_path_accuracy_both_impls():
-    """The PUBLIC sm.exp/log/pow meet the same accuracy bar under both
-    transcendental implementations ("native" = jnp/Mosaic hardware-refined,
-    the default; "crafted" = the fdlibm-style range-reduction versions)."""
+# Accuracy contract per impl mode (measured on real v5e):
+#  - "crafted": <=4 ulp everywhere (the fdlibm-style implementations);
+#  - "auto" (DEFAULT): exp/pow native (XLA/Mosaic refined, ~5e-6 rel err on
+#    TPU), log crafted (XLA:TPU's log is only ~6e-5 accurate — it is wrong
+#    at log(3), echoing the reference's own documented bug);
+#  - "native": platform accuracy everywhere (loose log on TPU).
+_IMPL_TOLS = {
+    "crafted": dict(exp=1e-6, log=1e-6, log_atol=1e-6, pow=4e-6),
+    "auto": dict(exp=1e-5, log=1e-6, log_atol=1e-6, pow=1e-5),
+    # platform-native log on TPU carries ~6e-5 absolute error (incl. near
+    # x=1 where the true value is ~0) — that IS the documented contract of
+    # the opt-in "native" mode.
+    "native": dict(exp=1e-5, log=2e-4, log_atol=1e-4, pow=1e-5),
+}
+
+
+@pytest.mark.parametrize("impl", ["crafted", "auto", "native"])
+def test_public_path_accuracy_all_impls(impl):
     import simplemath_tpu as sm
     from simplemath_tpu.config import config
 
+    tol = _IMPL_TOLS[impl]
     x = np.linspace(0.01, 20.0, 50_001).astype(np.float32)
     b = np.linspace(0.5, 4.0, 50_001).astype(np.float32)
     e = np.linspace(-3.0, 3.0, 50_001).astype(np.float32)
     old = config.transcendental_impl
     try:
-        for impl in ("native", "crafted"):
-            config.transcendental_impl = impl
-            got_exp = np.asarray(sm.exp(sm.Array(-x / 4)).jax())
-            np.testing.assert_allclose(
-                got_exp, np.exp(-x.astype(np.float64) / 4), rtol=1e-6,
-                err_msg=f"exp impl={impl}",
-            )
-            got_log = np.asarray(sm.log(sm.Array(x)).jax())
-            np.testing.assert_allclose(
-                got_log, np.log(x.astype(np.float64)), rtol=1e-6, atol=1e-7,
-                err_msg=f"log impl={impl}",
-            )
-            got_pow = np.asarray(sm.pow(sm.Array(b), sm.Array(e)).jax())
-            np.testing.assert_allclose(
-                got_pow,
-                np.power(b.astype(np.float64), e.astype(np.float64)),
-                rtol=4e-6,
-                err_msg=f"pow impl={impl}",
-            )
+        config.transcendental_impl = impl
+        got_exp = np.asarray(sm.exp(sm.Array(-x / 4)).jax())
+        np.testing.assert_allclose(
+            got_exp, np.exp(-x.astype(np.float64) / 4), rtol=tol["exp"],
+            err_msg=f"exp impl={impl}",
+        )
+        got_log = np.asarray(sm.log(sm.Array(x)).jax())
+        np.testing.assert_allclose(
+            got_log, np.log(x.astype(np.float64)), rtol=tol["log"],
+            atol=tol["log_atol"], err_msg=f"log impl={impl}",
+        )
+        got_pow = np.asarray(sm.pow(sm.Array(b), sm.Array(e)).jax())
+        np.testing.assert_allclose(
+            got_pow,
+            np.power(b.astype(np.float64), e.astype(np.float64)),
+            rtol=tol["pow"],
+            err_msg=f"pow impl={impl}",
+        )
     finally:
         config.transcendental_impl = old
 
 
-def test_log_at_3_both_impls():
-    # The reference's log is wrong at exactly 3.0 (README.md:10).
+def test_log_at_3_default_and_crafted():
+    """The reference's log is wrong at exactly 3.0 (README.md:10) — and so
+    is XLA:TPU's native log (6.2e-5 off, measured).  The DEFAULT ("auto")
+    path must get it right, which is why auto routes log to the crafted
+    implementation."""
     import simplemath_tpu as sm
     from simplemath_tpu.config import config
 
     old = config.transcendental_impl
     try:
-        for impl in ("native", "crafted"):
+        for impl in ("auto", "crafted"):
             config.transcendental_impl = impl
             got = float(sm.log(sm.Array(np.float32(3.0))).jax())
             assert abs(got - np.log(3.0)) < 1e-7, impl

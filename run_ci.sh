@@ -16,7 +16,10 @@ if python -c 'import jax, sys; sys.exit(0 if jax.default_backend() == "tpu" else
     # (.github/workflows/cmake-single-platform.yml:34-38); the analog here is
     # the full suite against the real chip.  SM_TEST_BACKEND=tpu disables the
     # conftest CPU pin; kernels compile through Mosaic instead of interpret.
-    SM_TEST_BACKEND=tpu python -m pytest tests/ -q
+    # Chunked (one pytest per file) so a flaky tunnel chunk can't take the
+    # whole run down; per-file results land in tpu_suite_results.txt (the
+    # TPU_PARITY.md artifact is generated from this).
+    bash tools/run_tpu_suite.sh tpu_suite_results.txt
 else
     echo "== TPU-backend suite skipped (no TPU attached) =="
 fi

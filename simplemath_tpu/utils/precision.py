@@ -28,4 +28,7 @@ def f32_matmuls(fn):
         with jax.default_matmul_precision("float32"):
             return fn(*args, **kwargs)
 
+    # Marker for the regression test that keeps every solver entry point
+    # pinned (tests/test_numerical_parity.py).
+    wrapped._pins_f32_matmuls = True
     return wrapped

@@ -36,3 +36,35 @@ def test_cartpole_f32_matches_f64_cost():
     r32 = _solve_in_dtype(system, x0, 60, jnp.float32, iters=15)
     r64 = _solve_in_dtype(system, x0, 60, jnp.float64, iters=15)
     assert abs(float(r32.cost) - float(r64.cost)) / float(r64.cost) < 5e-3
+
+
+def test_solver_entry_points_pin_f32_matmul_precision():
+    """Every solver entry point must trace its ops under float32 matmul
+    precision (utils/precision.py): TPU's default bf16 truncation breaks
+    solver convergence on real hardware (measured: AL stalls at 1e-1
+    violation, SoA drifts from the vmapped oracle — TPU_PARITY.md).  This
+    test fails if a refactor drops the pin from any of them."""
+    from simplemath_tpu.models import ilqr, rti, sqp_mpc
+    from simplemath_tpu.ops import soa
+    from simplemath_tpu.parallel import horizon
+
+    entry_points = [
+        ilqr.linearize, ilqr.linearize_soa,
+        ilqr.backward_sequential, ilqr.backward_sequential_soa,
+        ilqr.backward_associative, ilqr.backward_associative_soa,
+        ilqr.forward_linesearch, ilqr.forward_linesearch_soa,
+        ilqr.solve, ilqr.solve_batched,
+        soa.matmul, soa.matvec, soa.outer, soa.inv, soa.solve,
+        rti.affine_scan, rti.backward_associative_defect,
+        rti.rti_tick, rti.rti_closed_loop,
+        horizon.sharded_suffix_scan, horizon.sharded_suffix_scan_batched,
+        horizon.backward_associative_sharded,
+        horizon.backward_associative_sharded_batched,
+        sqp_mpc.solve_constrained, sqp_mpc.make_scenario_mpc_step,
+    ]
+    unpinned = [
+        fn.__name__
+        for fn in entry_points
+        if not getattr(fn, "_pins_f32_matmuls", False)
+    ]
+    assert not unpinned, f"solver entry points missing @f32_matmuls: {unpinned}"

@@ -502,7 +502,8 @@ def bench_matmul(n=2048, dtype="bfloat16"):
 
 
 def bench_bmm(B=8, n=1024, dtype="bfloat16"):
-    """Batched rank-3 matmul TF/s through public ``sm.matmul``."""
+    """Batched rank-3 matmul TF/s through public ``sm.matmul``, with the
+    same-session ``jnp.matmul`` comparator (routing stays measured)."""
     import simplemath_tpu as sm
 
     dt = jnp.dtype(dtype)
@@ -517,6 +518,15 @@ def bench_bmm(B=8, n=1024, dtype="bfloat16"):
 
         return run
 
+    def build_run_xla(L):
+        def run(a, b):
+            def body(i, acc):
+                return (jnp.matmul(acc, b) * scale).astype(dt)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
     def make_args(i):
         k = jax.random.PRNGKey(i)
         ka, kb = jax.random.split(k)
@@ -526,9 +536,16 @@ def bench_bmm(B=8, n=1024, dtype="bfloat16"):
         )
 
     t = _per_iter_time(build_run, make_args, 16, 112)
+    t_xla = _per_iter_time(build_run_xla, make_args, 16, 112)
     tflops = 2 * B * n**3 / t / 1e12
     peak = 197.0
-    return {"time_s": t, "TFLOPs": tflops, "mxu_peak_fraction": tflops / peak}
+    return {
+        "time_s": t,
+        "TFLOPs": tflops,
+        "mxu_peak_fraction": tflops / peak,
+        "xla_TFLOPs": 2 * B * n**3 / t_xla / 1e12,
+        "vs_xla": t_xla / t,
+    }
 
 
 def bench_long_horizon(batch=512, horizon=1000, iters=2):

@@ -123,6 +123,10 @@ _FUSABLE = {
     "negative": "negative",
     "maximum": "maximum",
     "minimum": "minimum",
+    "sin": "sin",
+    "cos": "cos",
+    "tan": "tan",
+    "tanh": "tanh",
 }
 
 
@@ -198,10 +202,10 @@ abs = _unary_engine("abs")  # noqa: A001
 sqrt = _unary_engine("sqrt")
 square = _unary_engine("square")
 negative = _unary_engine("negative")
-sin = _wrap1(jnp.sin)
-cos = _wrap1(jnp.cos)
-tan = _wrap1(jnp.tan)
-tanh = _wrap1(jnp.tanh)
+sin = _unary_engine("sin")
+cos = _unary_engine("cos")
+tan = _unary_engine("tan")
+tanh = _unary_engine("tanh")
 sign = _wrap1(jnp.sign)
 clip = _wrap1(jnp.clip)
 cumsum = _wrap1(jnp.cumsum)

@@ -97,3 +97,10 @@ register_op("negative", lambda a: -a, arity=1)
 register_op("abs", jnp.abs, arity=1)
 register_op("sqrt", jnp.sqrt, arity=1)
 register_op("square", jnp.square, arity=1)
+# Trig/hyperbolic: XLA's polynomial lowerings work inside Mosaic kernels
+# too (verified on real v5e), so these ride the same engine as the
+# arithmetic ops and compose under sm.fuse.
+register_op("sin", jnp.sin, arity=1)
+register_op("cos", jnp.cos, arity=1)
+register_op("tan", jnp.tan, arity=1)
+register_op("tanh", jnp.tanh, arity=1)

@@ -181,3 +181,17 @@ def test_tile_registry_cap_eviction(monkeypatch, rng):
     for k in range(5):
         np.testing.assert_allclose(outs[k], a + k, rtol=1e-6)
     assert elementwise.tile_registry_size() <= 2
+
+
+def test_trig_unary_ops_route_to_kernel(rng):
+    """sin/cos/tan/tanh ride the same engine as the arithmetic ops (forced
+    Pallas here; XLA's polynomial lowerings compile inside Mosaic)."""
+    x = rng.uniform(-1.5, 1.5, size=(16, 256)).astype(np.float32)
+    for name in ("sin", "cos", "tan", "tanh"):
+        dispatch.reset()
+        out = getattr(sm, name)(sm.Array(x))
+        assert dispatch.count("elementwise", name) == 1, name
+        np.testing.assert_allclose(
+            out.numpy(), getattr(np, name)(x.astype(np.float64)),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )

@@ -192,3 +192,12 @@ def test_fused_donation_shape_mismatch_raises(rng):
             fused(a, row)
     finally:
         config.kernel_backend = old
+
+
+def test_fused_trig(rng):
+    a = rng.uniform(-1.0, 1.0, (8, 128)).astype(np.float32)
+    b = rng.uniform(-1.0, 1.0, (8, 128)).astype(np.float32)
+    fused = sm.fuse(lambda x, y: sm.tanh(sm.sin(x) * sm.cos(y)))
+    got = np.asarray(fused(a, b).jax())
+    want = np.tanh(np.sin(a.astype(np.float64)) * np.cos(b.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -488,8 +488,10 @@ def bench_matmul(n=2048, dtype="bfloat16"):
             jax.random.normal(kb, (n, n), dt),
         )
 
-    t = _per_iter_time(build_run, make_args, 64, 448)
-    t_xla = _per_iter_time(build_run_xla, make_args, 64, 448)
+    # ~90 us/iter at 2048^3: a 896-iteration difference gives ~80 ms of
+    # device-time signal, holding run-to-run jitter to a few percent.
+    t = _per_iter_time(build_run, make_args, 64, 960)
+    t_xla = _per_iter_time(build_run_xla, make_args, 64, 960)
     tflops = 2 * n**3 / t / 1e12
     peak = 197.0  # v5e MXU peak (bf16) TF/s
     return {
@@ -535,8 +537,8 @@ def bench_bmm(B=8, n=1024, dtype="bfloat16"):
             jax.random.normal(kb, (B, n, n), dt),
         )
 
-    t = _per_iter_time(build_run, make_args, 16, 112)
-    t_xla = _per_iter_time(build_run_xla, make_args, 16, 112)
+    t = _per_iter_time(build_run, make_args, 16, 400)
+    t_xla = _per_iter_time(build_run_xla, make_args, 16, 400)
     tflops = 2 * B * n**3 / t / 1e12
     peak = 197.0
     return {

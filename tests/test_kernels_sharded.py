@@ -1,0 +1,99 @@
+"""Pallas kernels + sm.fuse composed under shard_map over a device mesh.
+
+The deployment shape for the distributed layer (SURVEY §2.3): per-chip
+compute inside shard_map shards runs the SAME public sm ops / fused kernels
+as single-chip code — these tests pin that the kernel paths (forced Pallas,
+interpret mode on the CPU mesh) trace and execute correctly inside
+shard_map-sharded programs with collectives mixed in.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+import simplemath_tpu as sm
+from simplemath_tpu import parallel
+from simplemath_tpu.config import config
+from simplemath_tpu.ops import dispatch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple devices"
+)
+
+
+@pytest.fixture(autouse=True)
+def force_pallas():
+    old = config.kernel_backend
+    config.kernel_backend = "pallas"
+    dispatch.reset()
+    yield
+    config.kernel_backend = old
+
+
+def test_elementwise_kernel_inside_shard_map(rng):
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    a = rng.standard_normal((n_dev * 4, 256)).astype(np.float32)
+    b = rng.standard_normal((n_dev * 4, 256)).astype(np.float32)
+
+    def shard_fn(a_s, b_s):
+        c = sm.add(sm.Array(a_s), sm.Array(b_s)).jax()
+        # mix a collective with the kernel output
+        total = jax.lax.psum(jnp.sum(c), "scenario")
+        return c, total
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("scenario"), P("scenario")),
+        out_specs=(P("scenario"), P()),
+        check_vma=False,
+    )
+    c, total = jax.jit(fn)(a, b)
+    np.testing.assert_allclose(np.asarray(c), a + b, rtol=1e-6)
+    np.testing.assert_allclose(float(total), (a + b).sum(), rtol=1e-4)
+    assert dispatch.count("elementwise", "add") >= 1
+
+
+def test_fused_kernel_inside_shard_map(rng):
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    a = rng.uniform(0.5, 2.0, (n_dev * 2, 128)).astype(np.float32)
+    e = rng.uniform(-1.0, 1.0, (n_dev * 2, 128)).astype(np.float32)
+    fused = sm.fuse(lambda x, y: sm.exp(sm.pow(x, y)))
+
+    def shard_fn(a_s, e_s):
+        return fused(a_s, e_s).jax()
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("scenario"), P("scenario")),
+        out_specs=P("scenario"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(fn)(a, e))
+    want = np.exp(np.power(a.astype(np.float64), e.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+    assert dispatch.count("elementwise", "fused") >= 1
+
+
+def test_reduction_kernel_inside_shard_map(rng):
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    x = rng.standard_normal((n_dev * 8, 100)).astype(np.float32)
+
+    def shard_fn(x_s):
+        local = sm.Array(x_s).sum().jax()
+        return jax.lax.psum(local, "scenario")
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("scenario"),), out_specs=P(),
+        check_vma=False,
+    )
+    got = float(jax.jit(fn)(x))
+    np.testing.assert_allclose(got, x.sum(), rtol=1e-4)
+    assert dispatch.count("reduce", "sum") >= 1

@@ -113,21 +113,9 @@ def fuse(fn, donate=None):
 
 # --------------------------------------------------------------------------
 # NumPy-style free functions over Array (the rest of a complete ndarray
-# surface; all honor views and lower to XLA).
-# jnp names with a fusable tile implementation (registry name on the right).
-_FUSABLE = {
-    "sqrt": "sqrt",
-    "square": "square",
-    "abs": "abs",
-    "absolute": "abs",
-    "negative": "negative",
-    "maximum": "maximum",
-    "minimum": "minimum",
-    "sin": "sin",
-    "cos": "cos",
-    "tan": "tan",
-    "tanh": "tanh",
-}
+# surface; all honor views and lower to XLA).  Ops with a registry tile go
+# through _unary_engine / engine.binary instead — those compose with
+# sm.fuse; everything wrapped here deliberately does not.
 
 
 def _wrap1(fn):
@@ -135,31 +123,10 @@ def _wrap1(fn):
         from .ops import fusion
 
         if fusion.is_fused(a):
-            name = _FUSABLE.get(fn.__name__)
-            if name is None or args or kwargs:
-                raise TypeError(
-                    f"sm.{fn.__name__} is not supported inside sm.fuse"
-                )
-            return fusion.apply_by_name(name, a)
+            raise TypeError(
+                f"sm.{fn.__name__} is not supported inside sm.fuse"
+            )
         return Array(fn(asarray(a).jax(), *args, **kwargs))
-
-    return wrapped
-
-
-def _wrap2(fn):
-    def wrapped(a, b, *args, **kwargs):
-        from .ops import fusion
-
-        if fusion.is_fused(a) or fusion.is_fused(b):
-            name = _FUSABLE.get(fn.__name__)
-            if name is None or args or kwargs:
-                raise TypeError(
-                    f"sm.{fn.__name__} is not supported inside sm.fuse"
-                )
-            return fusion.apply_by_name(name, a, b)
-        av = asarray(a).jax() if not jnp.isscalar(a) else a
-        bv = asarray(b).jax() if not jnp.isscalar(b) else b
-        return Array(fn(av, bv, *args, **kwargs))
 
     return wrapped
 
@@ -175,6 +142,13 @@ def _reduce_free(name):
     reduction kernel; ``sm.sum(a)`` and ``a.sum()`` are one path)."""
 
     def fn(a, axis=None, keepdims=False):
+        from .ops import fusion
+
+        if fusion.is_fused(a):
+            # Reductions can't join a fused elementwise chain; raise the
+            # standard fuse error instead of letting asarray() fail with a
+            # confusing coercion message (round-3 advisor, low).
+            raise TypeError(f"sm.{name} is not supported inside sm.fuse")
         return getattr(asarray(a), name)(axis=axis, keepdims=keepdims)
 
     fn.__name__ = name

@@ -364,13 +364,20 @@ def make_scenario_mpc_step(
         return us_new, du0, {"total_cost": total, "alpha": alpha_star}
 
     spec = P(axis_name)
-    return shard_map(
+    sharded = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, P(), {"total_cost": P(), "alpha": P()}),
         check_vma=False,
     )
+    # The f32 pin must be live when the RETURNED step traces, not merely
+    # while this builder runs: jax.default_matmul_precision is a trace-time
+    # context manager, and shard_map'd callables trace lazily at first call
+    # (long after the builder's own decorator context has exited).  Wrapping
+    # the returned callable is what actually puts precision=HIGHEST on the
+    # KKT assembly / solve / feedback matvecs (round-3 advisor, high).
+    return f32_matmuls(sharded)
 
 
 def scenario_mpc_step(

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import config
+from .. import dtypes
 
 _REDUCERS = {
     "sum": (jnp.sum, lambda a, b: a + b, 0.0),
@@ -159,6 +160,26 @@ def _build_reduce_2d(kind, r, c, br, in_dtype, interpret):
     )
 
 
+def _block_rows_2d(r: int, c: int, dtype, block_rows: int):
+    """Row-block size for the 2-D reduction, or None to use the 1-D path.
+
+    Mosaic requires block dims to be sublane-multiples unless they equal the
+    full array dim (the same contract ops/matmul.py documents), so a
+    budget-bound br like 13 compiles in interpret mode but is rejected on
+    real TPU (round-3 advisor, medium).  Round partial blocks down to the
+    dtype's sublane size; when the VMEM budget can't even fit one sublane of
+    rows, stream through the 1-D ravel path instead.
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    per_row = c * (itemsize * 2 + 4)
+    br = min(block_rows, r, _VMEM_BUDGET_BYTES // max(per_row, 1))
+    if br >= r:
+        return r
+    sub = dtypes.traits(dtype).sublanes
+    br = (br // sub) * sub
+    return br if br >= sub else None
+
+
 def pallas_reduce(x, kind: str = "sum", block_rows: int = 512):
     """Full reduction of ``x`` to a scalar (f32 accumulation)."""
     from . import dispatch
@@ -166,10 +187,11 @@ def pallas_reduce(x, kind: str = "sum", block_rows: int = 512):
     dispatch.record("reduce", kind)
     itemsize = jnp.dtype(x.dtype).itemsize
     interpret = config.interpret_mode()
+    br = None
     if x.ndim == 2 and x.shape[1] <= 65536:
+        br = _block_rows_2d(x.shape[0], x.shape[1], x.dtype, block_rows)
+    if br is not None:
         r, c = x.shape
-        per_row = c * (itemsize * 2 + 4)
-        br = max(1, min(block_rows, r, _VMEM_BUDGET_BYTES // max(per_row, 1)))
         call = _build_reduce_2d(kind, r, c, br, jnp.dtype(x.dtype), interpret)
         out = call(x)
     else:

@@ -129,6 +129,17 @@ def test_fused_unsupported_op_raises(rng):
         fused(a)
 
 
+@pytest.mark.parametrize("op", ["sum", "mean", "max", "min"])
+def test_fused_reduction_raises_standard_error(op, rng):
+    # Reductions route through _reduce_free; on a fused operand they must
+    # raise the standard fuse TypeError, not an asarray coercion failure
+    # (round-3 advisor, low).
+    a = rng.standard_normal((4, 4)).astype(np.float32)
+    fused = sm.fuse(lambda x: getattr(sm, op)(sm.square(x)))
+    with pytest.raises(TypeError, match="not supported inside sm.fuse"):
+        fused(a)
+
+
 def test_fused_under_jit(rng):
     a = rng.uniform(0.5, 2.0, (16, 128)).astype(np.float32)
     e = rng.uniform(-1.0, 1.0, (1, 128)).astype(np.float32)

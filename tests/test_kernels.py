@@ -75,6 +75,27 @@ def test_pallas_reduce_2d_unaligned(rng):
     np.testing.assert_allclose(float(out), x.astype(np.float64).sum(), rtol=1e-5)
 
 
+def test_reduce_2d_block_rows_sublane_aligned():
+    """Budget-bound row blocks must round down to the dtype's sublane size
+    (Mosaic rejects partial-sublane blocks on real TPU — round-3 advisor):
+    f32 c=40000 binds the budget at br=13 → must plan 8; bf16 c=50000 binds
+    at br=15 < one 16-row sublane → must fall back to the 1-D path."""
+    br = reduction._block_rows_2d(100, 40000, jnp.float32, 512)
+    assert br == 8
+    assert reduction._block_rows_2d(100, 50000, jnp.bfloat16, 512) is None
+    # Whole-array blocks may equal the row count even when unaligned.
+    assert reduction._block_rows_2d(13, 128, jnp.float32, 512) == 13
+    # Unbound budget keeps the requested block_rows (a sublane multiple).
+    assert reduction._block_rows_2d(4096, 512, jnp.float32, 512) == 512
+
+
+def test_reduce_2d_budget_bound_matches_oracle(rng):
+    # End-to-end through the budget-bound planner path (br < r, rounded).
+    x = rng.normal(size=(20, 40000)).astype(np.float32)
+    out = reduction.pallas_reduce(jnp.asarray(x), "sum")
+    np.testing.assert_allclose(float(out), x.astype(np.float64).sum(), rtol=1e-5)
+
+
 def test_pallas_dot1d(rng):
     a = rng.normal(size=(3333,)).astype(np.float32)
     b = rng.normal(size=(3333,)).astype(np.float32)

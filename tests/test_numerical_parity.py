@@ -68,3 +68,49 @@ def test_solver_entry_points_pin_f32_matmul_precision():
         if not getattr(fn, "_pins_f32_matmuls", False)
     ]
     assert not unpinned, f"solver entry points missing @f32_matmuls: {unpinned}"
+
+
+def _dot_precisions(jaxpr):
+    """Recursively collect the `precision` param of every dot_general in a
+    (closed) jaxpr, descending into scan/cond/shard_map/pjit sub-jaxprs."""
+    out = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                    walk(v.jaxpr)
+                elif hasattr(v, "eqns"):  # raw Jaxpr
+                    walk(v)
+
+    walk(jaxpr.jaxpr if hasattr(jaxpr, "jaxpr") else jaxpr)
+    return out
+
+
+def test_scenario_step_traces_with_f32_precision():
+    """Round-3 advisor (high): the marker-attribute check above passed even
+    though the pin did NOT apply — @f32_matmuls on the BUILDER exits before
+    the returned shard_map'd step traces.  This test inspects the actual
+    traced jaxpr: every dot_general in the step (KKT assembly, solve,
+    line-search feedback matvecs, all nested inside shard_map/vmap/scan)
+    must carry precision=HIGHEST."""
+    from jax.lax import Precision
+    from jax.sharding import Mesh
+    from simplemath_tpu.models import make_pendulum, sqp_mpc
+
+    devs = jax.devices()[:2]
+    mesh = Mesh(np.array(devs), ("scenario",))
+    system = make_pendulum()
+    step = sqp_mpc.make_scenario_mpc_step(system, mesh)
+    x0s = jnp.zeros((2, system.nx), jnp.float32)
+    uss = jnp.zeros((2, 6, system.nu), jnp.float32)
+    jx = jax.make_jaxpr(step)(x0s, uss)
+    precisions = _dot_precisions(jx)
+    assert precisions, "no dot_general found in the traced scenario step"
+    bad = [p for p in precisions if p != (Precision.HIGHEST, Precision.HIGHEST)]
+    assert not bad, (
+        f"{len(bad)}/{len(precisions)} dot_generals traced without "
+        f"f32 (HIGHEST) precision: {set(map(str, bad))}"
+    )

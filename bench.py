@@ -203,6 +203,87 @@ def bench_pow_small(shape, exponent, ref_ns, label):
     return {"time_s": t, f"vs_ref_{ref_ns}ns": ref_ns * 1e-9 / t}
 
 
+def bench_tiny_chain(shape=(5, 5), n_ops=5):
+    """Deferred-eager queue payoff (round-3 VERDICT item 6): a chain of
+    ``n_ops`` tiny elementwise ops through the EAGER public API — no
+    sm.fuse — must cost about one dispatch, not ``n_ops`` (ops/lazy.py
+    records the chain and flushes it as one kernel at materialization).
+    Reports steady-state per-chain time vs the single-op floor measured in
+    the same session; the reference's tiny-op rows are
+    benchmark/pow.cpp:5-28 (~300 ns each on the Ryzen; the documented
+    ~per-launch floor here makes launches, not FLOPs, the cost — so the
+    win is launches/chain -> 1)."""
+    import simplemath_tpu as sm
+
+    vals = (jnp.arange(np.prod(shape), dtype=jnp.int32) % 5).reshape(shape)
+    fvals = vals.astype(jnp.float32)
+
+    def build_chain(L):
+        def run(seed):
+            def body(i, acc):
+                a = sm.Array(fvals + acc)
+                # 5 eager public ops: pow, add, multiply, subtract, sqrt.
+                r = sm.pow(a, 2)
+                r = sm.add(r, 3.0)
+                r = sm.multiply(r, a)
+                r = sm.subtract(r, 1.5)
+                r = sm.sqrt(sm.abs(r))
+                return acc + jnp.sum(r.jax()) * jnp.float32(1e-7)
+
+            return jax.lax.fori_loop(0, L, body, seed)
+
+        return run
+
+    def build_single(L):
+        def run(seed):
+            def body(i, acc):
+                out = sm.add(sm.Array(fvals + acc), 3.0).jax()
+                return acc + jnp.sum(out) * jnp.float32(1e-7)
+
+            return jax.lax.fori_loop(0, L, body, seed)
+
+        return run
+
+    def make_args(i):
+        return (jnp.float32(i % 3),)
+
+    # Kernel launches per chain, counted at trace time under forced-Pallas:
+    # the queue turns the op-per-launch chain into ONE fused launch.
+    from simplemath_tpu.config import config as smconfig
+    from simplemath_tpu.ops import dispatch
+
+    def _count_launches():
+        dispatch.reset()
+        jax.make_jaxpr(build_chain(1))(jnp.float32(0.0))
+        return sum(
+            v for k, v in dispatch.counts().items()
+            if k.startswith("elementwise:")
+        )
+
+    old_backend, old_flag = smconfig.kernel_backend, smconfig.deferred_eager
+    smconfig.kernel_backend = "pallas"
+    try:
+        launches_deferred = _count_launches()
+        smconfig.deferred_eager = False
+        launches_immediate = _count_launches()
+    finally:
+        smconfig.kernel_backend = old_backend
+        smconfig.deferred_eager = old_flag
+
+    t_chain = _per_iter_time(build_chain, make_args, 1024, 132096)
+    t_single = _per_iter_time(build_single, make_args, 1024, 132096)
+    return {
+        "shape": list(shape),
+        "n_ops": n_ops,
+        "chain_time_s": t_chain,
+        "single_op_time_s": t_single,
+        "chain_over_single": t_chain / t_single,
+        "meets_2x_floor": t_chain <= 2.0 * t_single,
+        "launches_per_chain_deferred": launches_deferred,
+        "launches_per_chain_immediate": launches_immediate,
+    }
+
+
 def bench_dot1d(n=32 * 1024 * 1024):
     """Fused 1-D dot kernel through public ``sm.dot`` (the reference's
     ``operator%`` / product.h path): HBM-streaming GB/s.  Operands are
@@ -395,33 +476,41 @@ def bench_small_pow_batched(batch=200_000):
     }
 
 
-def bench_fused_pipeline(n=2048):
+def bench_fused_pipeline(n=2048, l_short=16, l_long=400):
     """BASELINE.json configs[1]: fused broadcast+pow+exp elementwise
     pipeline on 2-D float arrays (benchmark_pow parity workload, extended
     with the exp stage the reference never shipped working).
 
-    ``exp(pow(a + eps, e_row))`` where the exponent row (1, n) broadcasts
-    against (n, n) — through the public ``sm`` API, as ONE ``sm.fuse``d
-    kernel (the round-3 fusion story: the whole chain including the
-    perturbation add runs in a single elementwise launch, with the row
-    broadcast handled by BlockSpec index maps).  There is no reference
-    number (its float pow/exp are disabled/broken, README.md:7-10), so
-    ``vs_xla`` compares against the same pipeline as raw fused XLA ops;
-    ``unfused`` records what the op-per-kernel chain costs (the round-2
-    behavior) for the record."""
+    ``acc = acc*d + exp(pow(a + acc*eps, e_row))`` iterated L times, where
+    the exponent row (1, n) broadcasts against (n, n) — through the public
+    ``sm`` API.  The headline form is ``sm.fuse(..., iterations=L)``: the
+    WHOLE L-iteration recurrence runs inside ONE kernel launch with the
+    carry VMEM-resident across iterations (round-3 VERDICT item 2 — the
+    capability XLA's fusion loop has that a launch-per-iteration chain
+    lacks).  There is no reference number (its float pow/exp are
+    disabled/broken, README.md:7-10), so ``vs_xla`` compares against the
+    same recurrence as raw XLA ops in a fori_loop; ``one_launch_per_iter``
+    records the round-3 fused form and ``unfused`` the op-per-kernel
+    chain, for the record."""
     import simplemath_tpu as sm
     from simplemath_tpu.ops import dispatch
 
     shape = (n, n)
-    # The WHOLE loop body is one fused kernel with the carry donated: the
-    # decay, perturbation add, broadcast pow and exp execute in a single
-    # launch that writes the carry in place (one read of a + one
-    # read/write of acc per iteration).
-    fused = sm.fuse(
-        lambda acc, a, e_row: acc * np.float32(1e-3)
-        + sm.exp(sm.pow(a + acc * np.float32(1e-6), e_row)),
-        donate=0,
-    )
+
+    def chain(acc, a, e_row):
+        return acc * np.float32(1e-3) + sm.exp(
+            sm.pow(a + acc * np.float32(1e-6), e_row)
+        )
+
+    fused = sm.fuse(chain, donate=0)
+
+    def build_run_iterated(L):
+        fused_L = sm.fuse(chain, donate=0, iterations=L)
+
+        def run(a, e_row):
+            return fused_L(jnp.zeros_like(a), a, e_row).jax()
+
+        return run
 
     def build_run_fused(L):
         def run(a, e_row):
@@ -461,10 +550,11 @@ def bench_fused_pipeline(n=2048):
         )
 
     dispatch.reset()
-    t_sm = _per_iter_time(build_run_fused, make_args, 16, 400)
+    t_sm = _per_iter_time(build_run_iterated, make_args, l_short, l_long)
     one_launch = dispatch.count("elementwise", "fused") > 0
-    t_chain = _per_iter_time(build_run_chain, make_args, 16, 400)
-    t_xla = _per_iter_time(build_run_xla, make_args, 16, 400)
+    t_fused = _per_iter_time(build_run_fused, make_args, l_short, l_long)
+    t_chain = _per_iter_time(build_run_chain, make_args, l_short, l_long)
+    t_xla = _per_iter_time(build_run_xla, make_args, l_short, l_long)
     return {
         "shape": list(shape),
         "time_s": t_sm,
@@ -472,6 +562,7 @@ def bench_fused_pipeline(n=2048):
         "gelements_per_s": n * n / t_sm / 1e9,
         "through_fused_kernel": one_launch,
         "vs_xla": t_xla / t_sm,
+        "one_launch_per_iter": {"time_s": t_fused, "vs_xla": t_xla / t_fused},
         "unfused": {"time_s": t_chain, "vs_xla": t_xla / t_chain},
     }
 
@@ -822,6 +913,7 @@ def main():
                 "pow_2d_int",
                 lambda: bench_pow_small((3, 3), 2, 302, "2d"),
             ),
+            ("tiny_chain_5op", lambda: bench_tiny_chain()),
             (
                 "pallas_elementwise",
                 lambda: bench_elementwise_pallas(
@@ -832,6 +924,14 @@ def main():
             (
                 "fused_pipeline",
                 lambda: bench_fused_pipeline(256 if args.quick else 2048),
+            ),
+            (
+                "fused_pipeline_8k",
+                lambda: bench_fused_pipeline(
+                    512 if args.quick else 8192,
+                    l_short=8,
+                    l_long=72,
+                ),
             ),
             (
                 "dot1d",

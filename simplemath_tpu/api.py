@@ -80,10 +80,13 @@ def divide(a, b) -> Array:
 
 
 def _transcendental_unary(name: str, a) -> Array:
-    from .ops import fusion, transcendental
+    from .ops import fusion, lazy, transcendental
 
     if fusion.is_fused(a):
         return fusion.unary_node(name, a)
+    out = lazy.defer_trans(name, a)
+    if out is not None:
+        return out
     return Array(getattr(transcendental, name)(asarray(a).jax()))
 
 
@@ -103,12 +106,14 @@ def log2(a) -> Array:
     return _transcendental_unary("log2", a)
 
 
-def fuse(fn, donate=None):
+def fuse(fn, donate=None, iterations=1, carry=0):
     """Fuse a chain of sm ops into one kernel launch (ops/fusion.py).
-    ``donate=i`` writes the output in place over input ``i``."""
+    ``donate=i`` writes the output in place over input ``i``;
+    ``iterations=L`` iterates the chain L times inside the one launch with
+    input ``carry`` as a VMEM-resident loop carry."""
     from .ops import fusion
 
-    return fusion.fuse(fn, donate=donate)
+    return fusion.fuse(fn, donate=donate, iterations=iterations, carry=carry)
 
 
 # --------------------------------------------------------------------------
@@ -176,10 +181,26 @@ abs = _unary_engine("abs")  # noqa: A001
 sqrt = _unary_engine("sqrt")
 square = _unary_engine("square")
 negative = _unary_engine("negative")
-sin = _unary_engine("sin")
-cos = _unary_engine("cos")
-tan = _unary_engine("tan")
-tanh = _unary_engine("tanh")
+
+
+# Trig rides the transcendental accuracy contract (ops/transcendental.py):
+# sin/cos/tan are natively 2-3 ulp on this chip (measured, incl. large
+# arguments), tanh's native lowering is only ~8e-5 accurate so "auto"
+# routes it to the crafted implementation.
+def sin(a) -> Array:
+    return _transcendental_unary("sin", a)
+
+
+def cos(a) -> Array:
+    return _transcendental_unary("cos", a)
+
+
+def tan(a) -> Array:
+    return _transcendental_unary("tan", a)
+
+
+def tanh(a) -> Array:
+    return _transcendental_unary("tanh", a)
 sign = _wrap1(jnp.sign)
 clip = _wrap1(jnp.clip)
 cumsum = _wrap1(jnp.cumsum)

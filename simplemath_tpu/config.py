@@ -73,6 +73,14 @@ class Config:
         default_factory=lambda: _env_str("SM_TRANSCENDENTAL", "auto")
     )
 
+    # Deferred-eager elementwise queue (ops/lazy.py): eager op chains record
+    # a lazy expression and flush as ONE fused kernel on materialization
+    # instead of one launch per op.  Set SM_DEFERRED_EAGER=0 to compute
+    # every op immediately (the round-3 behavior).
+    deferred_eager: bool = dataclasses.field(
+        default_factory=lambda: _env_str("SM_DEFERRED_EAGER", "1") not in ("", "0")
+    )
+
     # Force Pallas interpret mode (used on CPU test meshes).  None = auto
     # (interpret when the default backend is not TPU).
     pallas_interpret: Optional[bool] = None

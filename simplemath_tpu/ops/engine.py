@@ -52,11 +52,21 @@ def _use_pallas(op, out_shape, in_dtypes, out_dtype) -> bool:
 
 
 def binary(name: str, a: Any, b: Any) -> Array:
-    from . import dispatch, fusion
+    from . import dispatch, fusion, lazy
 
     if fusion.is_fused(a) or fusion.is_fused(b):
         return fusion.binary_node(name, a, b)
     dispatch.record("engine", name)
+    if registry.get_op(name).pallas_ok:
+        out = lazy.defer_binary(name, a, b)
+        if out is not None:
+            return out
+    return binary_eager(name, a, b)
+
+
+def binary_eager(name: str, a: Any, b: Any) -> Array:
+    """The non-deferring compute path (also the lazy queue's single-op
+    flush; ``binary`` records the engine dispatch before deferring)."""
     op = registry.get_op(name)
     av, bv = as_jax(a), as_jax(b)
     a_shape = jnp.shape(av)
@@ -80,11 +90,20 @@ def binary(name: str, a: Any, b: Any) -> Array:
 
 
 def unary(name: str, a: Any) -> Array:
-    from . import dispatch, fusion
+    from . import dispatch, fusion, lazy
 
     if fusion.is_fused(a):
         return fusion.unary_node(name, a)
     dispatch.record("engine", name)
+    if registry.get_op(name).pallas_ok:
+        out = lazy.defer_unary(name, a)
+        if out is not None:
+            return out
+    return unary_eager(name, a)
+
+
+def unary_eager(name: str, a: Any) -> Array:
+    """Non-deferring compute path (also the lazy single-op flush)."""
     op = registry.get_op(name)
     av = as_jax(a)
     out_dtype = jnp.result_type(av)
@@ -152,10 +171,18 @@ def pow(a: Any, b: Any) -> Array:
     failure, README.md:8-10).  Static integer exponents (the benchmark's
     ``pow(a, 2)`` shape) specialize to repeated squaring — exact and
     memory-bound instead of transcendental-bound."""
-    from . import fusion
+    from . import fusion, lazy
 
     if fusion.is_fused(a) or fusion.is_fused(b):
         return fusion.pow_node(a, b)
+    out = lazy.defer_pow(a, b)
+    if out is not None:
+        return out
+    return pow_eager(a, b)
+
+
+def pow_eager(a: Any, b: Any) -> Array:
+    """Non-deferring compute path (also the lazy single-op flush)."""
     av, bv = as_jax(a), as_jax(b)
     br = broadcast_shapes(jnp.shape(av), jnp.shape(bv))
     a_dt = jnp.result_type(av)
@@ -204,27 +231,35 @@ def dot(a: Any, b: Any):
     (SURVEY §2.4-3)."""
     av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))
     out_dtype = jnp.result_type(av, bv)
+    if (
+        jnp.dtype(out_dtype) == jnp.dtype(jnp.complex64)
+        and jax.default_backend() == "tpu"
+    ):
+        # TPU has no complex type: three f32 MXU contractions via the Gauss
+        # split (ops/complexmm.py — the product.h:168-224 analog).
+        from . import complexmm
+
+        return Array(complexmm.complex_dot(av, bv))
     backend = config.kernel_backend
     if backend != "xla":
         from . import matmul, reduction
 
-        # Route by measured speed (v5e, 2048^3, steady-state loop
-        # differencing, round 3): bf16 -> Pallas kernel (195.8 TF/s vs
-        # jnp.dot's 167.5); f32 -> jnp.dot platform default (~200+ TF/s vs
-        # the in-kernel bf16-truncation route's 126 — the round-2 regression,
-        # reverted).  bench.py re-measures both sides every run so this
-        # claim stays continuously checked.
+        # Route by measured speed (v5e, steady-state loop differencing,
+        # re-measured round 4 with 4 alternated A/B rounds each —
+        # tools/tune_mm2d.py, tools/tune_bmm.py): XLA dot wins EVERY dtype
+        # and rank here (2048^3 bf16: XLA 180-194 TF/s vs kernel 167-172;
+        # (8,1024^2) bf16 bmm: XLA 184.5 vs kernel's best 151; f32: XLA
+        # ~200+ vs the truncation route's 126).  Round 3's one-off 195.8
+        # vs 167.5 kernel win did not reproduce.  "auto" therefore sends
+        # ALL large matmuls to XLA; the Pallas MXU kernels remain the
+        # forced-"pallas" path (and the building block for fused/dot1d
+        # pipelines where they DO win).  bench.py re-measures the
+        # comparator every run so this routing stays continuously checked.
         if (
             av.ndim == 2
             and bv.ndim == 2
             and matmul.supported(av.shape, bv.shape, out_dtype)
-            and (
-                backend == "pallas"
-                or (
-                    jax.default_backend() == "tpu"
-                    and jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
-                )
-            )
+            and backend == "pallas"
         ):
             return Array(matmul.pallas_matmul(av, bv, out_dtype))
         if (
@@ -276,23 +311,25 @@ def matmul(a: Any, b: Any) -> Array:
     on TPU; everything else lowers through ``jnp.matmul``."""
     av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))
     out_dtype = jnp.result_type(av, bv)
+    if (
+        jnp.dtype(out_dtype) == jnp.dtype(jnp.complex64)
+        and jax.default_backend() == "tpu"
+    ):
+        from . import complexmm
+
+        return Array(complexmm.complex_matmul(av, bv))
     backend = config.kernel_backend
     if backend != "xla":
         from . import matmul as _mm
 
-        # Same measured routing as `dot`: the Pallas MXU kernels win for
-        # bf16 only; f32 goes to XLA's dot (see engine.dot).
+        # Same measured routing as `dot` (see the comment there): XLA wins
+        # every large-matmul row in the round-4 A/B, so "auto" routes to
+        # XLA and the MXU kernels serve the forced-"pallas" path.
         if (
             av.ndim == bv.ndim
             and av.ndim in (2, 3)
             and _mm.supported(av.shape, bv.shape, out_dtype)
-            and (
-                backend == "pallas"
-                or (
-                    jax.default_backend() == "tpu"
-                    and jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
-                )
-            )
+            and backend == "pallas"
         ):
             return Array(_mm.pallas_matmul(av, bv, out_dtype))
     preferred, prec = _fallback_precision(av.shape, bv.shape, out_dtype)

@@ -15,10 +15,14 @@ MXU (XLA's DEFAULT f32 dot does the same single-pass truncation, which is
 why it runs at bf16 speed); ``precision="highest"`` keeps true f32 passes.
 Off-TPU (interpret mode) both are exact f32.
 
-Used by ``engine.dot`` for large bf16 matmuls on TPU (the dtype where it
-beats XLA dot — see the measured-routing note at ``_DEFAULT_BLOCKS``);
-everything else (f32, small, higher-rank, complex, f64) lowers through
-``lax.dot_general``, which measures faster there.
+Routing (re-measured round 4, tools/tune_mm2d.py + tools/tune_bmm.py,
+4 alternated A/B rounds each): XLA's dot now wins every large-matmul
+configuration on this chip (2048^3 bf16: 180-194 TF/s vs this kernel's
+167-172; (8,1024^2) bf16 bmm: 184.5 vs 151 best-tuned; f32 default:
+~200 vs 126), so ``engine.dot``/``engine.matmul`` route "auto" to XLA and
+these kernels serve the forced-``pallas`` backend, tests, and in-kernel
+composition.  bench.py's same-session comparators re-check the routing on
+every run.
 """
 
 from __future__ import annotations
@@ -195,14 +199,14 @@ def _build_bmm(
     )
 
 
-# Tuned on v5e at 2048^3 with steady-state (loop-differenced) timing
-# (re-measured round 3): bf16 (1024, 2048, 1024) reaches 195.8 TF/s (99%
-# of the 197 TF/s MXU peak, vs jnp.dot's 167.5) — this is the only dtype
-# the PUBLIC paths route here (engine.dot/matmul).  The f32 in-kernel
-# bf16-truncation route measured 126 TF/s vs jnp.dot default's ~200:
-# public f32 therefore goes to XLA dot, and this kernel's f32 modes remain
-# for explicit calls only; f32 precision="highest" runs ~29-30 TF/s on
-# both engines (6-pass exact f32).
+# Tuned on v5e at 2048^3 with steady-state (loop-differenced) timing.
+# Round-4 re-measurement: bf16 (1024, 2048, 1024) runs 167-172 TF/s
+# (85-87% of the 197 TF/s MXU peak) vs jnp.dot's 180-194 — round 3's
+# one-off 195.8-vs-167.5 kernel win did not reproduce, so no public
+# "auto" path routes here anymore (engine.dot/matmul comments).  The f32
+# in-kernel bf16-truncation route measured 126 TF/s vs jnp.dot default's
+# ~200; f32 precision="highest" runs ~29-30 TF/s on both engines (6-pass
+# exact f32).
 _DEFAULT_BLOCKS = {
     jnp.dtype(jnp.bfloat16): (1024, 2048, 1024),
     jnp.dtype(jnp.float32): (512, 2048, 512),

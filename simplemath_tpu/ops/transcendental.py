@@ -268,6 +268,40 @@ def pow_f32(x, y):
     return out
 
 
+# tanh Taylor coefficients in z = x^2 (odd series through x^13): measured
+# truncation at the 0.5 split point is ~1e-7 rel, ~1 ulp.
+_TANH_COEFFS = [
+    np.float32(21844.0 / 6081075.0),
+    np.float32(-1382.0 / 155925.0),
+    np.float32(62.0 / 2835.0),
+    np.float32(-17.0 / 315.0),
+    np.float32(2.0 / 15.0),
+    np.float32(-1.0 / 3.0),
+    np.float32(1.0),
+]
+
+
+def tanh_f32(x):
+    """Crafted f32 tanh: XLA:TPU's native tanh is only ~8e-5 accurate
+    (measured on v5e across [-30, 30], tools/measure_trig.py — the same
+    class of sloppy hardware lowering as log/exp2/log2, TPU_PARITY.md).
+
+    |x| <= 0.5: odd Taylor/minimax series (the 1 - 2/(e^2x+1) form cancels
+    catastrophically near 0).  |x| > 0.5: 1 - 2/(e^{2|x|}+1) with the
+    crafted exp (<=1 ulp), which saturates to exactly 1.0f where f32 tanh
+    does (|x| >= ~9.011) with no special casing."""
+    x = jnp.asarray(x, jnp.float32)
+    ax = jnp.abs(x)
+    z = x * x
+    small = x * _poly(_TANH_COEFFS, z)
+    big = np.float32(1.0) - np.float32(2.0) / (
+        exp_f32(np.float32(2.0) * jnp.minimum(ax, np.float32(44.0)))
+        + np.float32(1.0)
+    )
+    out = jnp.where(ax <= np.float32(0.5), small, jnp.sign(x) * big)
+    return jnp.where(jnp.isnan(x), x, out)
+
+
 def ipow_tile(base, exponent):
     """Branch-free square-and-multiply integer pow over exponent bits — the
     corrected TPU version of __sm256_powi_ps (crafted_pow.h:54-103), with the
@@ -303,17 +337,32 @@ def ipow_tile(base, exponent):
 # exp/log/pow are 3-6x faster in-kernel on v5e (Mosaic lowers them to the
 # hardware-accelerated refined approximations, bit-identical to XLA) —
 # EXCEPT exp2/log2, which Mosaic lowers to the raw ~8-bit hardware
-# approximation (measured 4.6e-4 rel err), so those stay crafted.
+# approximation (measured 4.6e-4 rel err), and tanh (~8e-5 rel, measured
+# round 4 — tools/measure_trig.py), so those stay crafted.  sin/cos/tan
+# measured accurate natively across the full f32 domain INCLUDING large
+# arguments (1.9e-7 / 1.9e-7 / 3.3e-7 rel at |x| up to 3e7 — XLA:TPU's
+# trig range reduction is sound), so no crafted variant exists for them;
+# "crafted" mode falls back to native there.
 _UNARY_IMPLS = {}  # name -> crafted f32 implementation (filled at bottom)
-_NATIVE_UNARY = {"exp": jnp.exp, "log": jnp.log, "exp2": jnp.exp2, "log2": jnp.log2}
-# "auto" = measured per-op defaults (see config.transcendental_impl): only
-# exp (and pow) are accurate enough natively on TPU.
-_AUTO_NATIVE = frozenset({"exp", "pow"})
+_NATIVE_UNARY = {
+    "exp": jnp.exp,
+    "log": jnp.log,
+    "exp2": jnp.exp2,
+    "log2": jnp.log2,
+    "sin": jnp.sin,
+    "cos": jnp.cos,
+    "tan": jnp.tan,
+    "tanh": jnp.tanh,
+}
+# "auto" = measured per-op defaults (see config.transcendental_impl).
+_AUTO_NATIVE = frozenset({"exp", "pow", "sin", "cos", "tan"})
 
 
 def _resolve_impl(name: str, impl: str) -> str:
     if impl == "auto":
         return "native" if name in _AUTO_NATIVE else "crafted"
+    if impl == "crafted" and name not in _UNARY_IMPLS and name != "pow":
+        return "native"  # no crafted variant exists (accurate natively)
     return impl
 
 
@@ -379,6 +428,22 @@ def log2(x):
     return _dispatch_unary("log2", log2_f32, jnp.log2, x)
 
 
+def sin(x):
+    return _dispatch_unary("sin", jnp.sin, jnp.sin, x)
+
+
+def cos(x):
+    return _dispatch_unary("cos", jnp.cos, jnp.cos, x)
+
+
+def tan(x):
+    return _dispatch_unary("tan", jnp.tan, jnp.tan, x)
+
+
+def tanh(x):
+    return _dispatch_unary("tanh", tanh_f32, jnp.tanh, x)
+
+
 @functools.lru_cache(maxsize=None)
 def _pow_tile(out_dtype_str: str, impl: str = "auto"):
     """Stable per-(out_dtype, impl) pow tile closure (see _unary_tile)."""
@@ -424,5 +489,11 @@ def pow(x, y):
 # any entry point (fusion composes tiles without going through the
 # dispatchers above).
 _UNARY_IMPLS.update(
-    {"exp": exp_f32, "log": log_f32, "exp2": exp2_f32, "log2": log2_f32}
+    {
+        "exp": exp_f32,
+        "log": log_f32,
+        "exp2": exp2_f32,
+        "log2": log2_f32,
+        "tanh": tanh_f32,
+    }
 )

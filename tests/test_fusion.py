@@ -129,6 +129,64 @@ def test_fused_unsupported_op_raises(rng):
         fused(a)
 
 
+def test_fused_iterated_matches_python_loop(rng):
+    # iterations=L inside ONE launch == applying the chain L times.
+    old = _force_pallas()
+    try:
+        a = rng.uniform(0.5, 2.0, (16, 256)).astype(np.float32)
+        e = rng.uniform(-1.0, 1.0, (1, 256)).astype(np.float32)
+        acc0 = np.zeros_like(a)
+
+        def chain(acc, x, y):
+            return acc * np.float32(0.5) + sm.exp(sm.pow(x + acc * np.float32(1e-3), y))
+
+        L = 5
+        fused_iter = sm.fuse(chain, iterations=L)
+        dispatch.reset()
+        got = np.asarray(fused_iter(acc0, a, e).jax())
+        ew = {k: v for k, v in dispatch.counts().items()
+              if k.startswith("elementwise:")}
+        assert ew == {"elementwise:fused": 1}, dispatch.counts()
+
+        fused_once = sm.fuse(chain)
+        want = acc0
+        for _ in range(L):
+            want = np.asarray(fused_once(want, a, e).jax())
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_iterated_1d_and_flattened_paths(rng):
+    old = _force_pallas()
+    try:
+        # 1-D flat path.
+        a = rng.standard_normal((4096,)).astype(np.float32)
+        f = sm.fuse(lambda acc, x: acc * np.float32(0.9) + sm.square(x),
+                    iterations=3)
+        got = np.asarray(f(np.zeros_like(a), a).jax())
+        want = np.zeros_like(a)
+        for _ in range(3):
+            want = want * np.float32(0.9) + a * a
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # Small-trailing-dim flatten path ((B, 3, 3) stack).
+        b = rng.standard_normal((64, 3, 3)).astype(np.float32)
+        g = sm.fuse(lambda acc, x: acc + x * x, iterations=4)
+        got2 = np.asarray(g(np.zeros_like(b), b).jax())
+        np.testing.assert_allclose(got2, 4.0 * b * b, rtol=1e-6)
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_iterated_shape_mismatch_raises(rng):
+    a = rng.standard_normal((8, 128)).astype(np.float32)
+    e = rng.standard_normal((1, 128)).astype(np.float32)
+    # Result broadcasts to (8, 128) but the carry is the (1, 128) row.
+    f = sm.fuse(lambda row, x: x + row, iterations=2)
+    with pytest.raises(ValueError, match="must match carry"):
+        f(e, a)
+
+
 @pytest.mark.parametrize("op", ["sum", "mean", "max", "min"])
 def test_fused_reduction_raises_standard_error(op, rng):
     # Reductions route through _reduce_free; on a fused operand they must

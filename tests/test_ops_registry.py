@@ -73,7 +73,10 @@ def test_custom_tile_fn_dispatched_to_pallas():
     old = config.kernel_backend
     config.kernel_backend = "pallas"
     try:
+        # Materialize inside the forced-pallas context: the deferred-eager
+        # queue makes the backend decision at flush time.
         out = sm.apply_op("tiled_op", a, b)
+        out.jax()
     finally:
         config.kernel_backend = old
     assert traced, "custom tile_fn was never traced by the Pallas engine"

@@ -231,3 +231,73 @@ def test_log_at_3_default_and_crafted():
             assert abs(got - np.log(3.0)) < 1e-7, impl
     finally:
         config.transcendental_impl = old
+
+
+# ------------------------------------------------------------ trig contract
+# Measured on the real v5e (tools/measure_trig.py, round 4): native
+# sin/cos/tan are 2-3 ulp across the FULL f32 domain including large
+# arguments (1.9e-7 / 1.8e-7 / 3.3e-7 rel at |x| up to 3e7 — XLA:TPU's trig
+# range reduction is sound, unlike its log/exp2/log2/tanh), so "auto" keeps
+# them native.  Native tanh is only ~8.1e-5 rel, the same class of sloppy
+# lowering as log (TPU_PARITY.md item 2), so "auto" routes tanh to the
+# crafted implementation (tanh_f32, measured <=2e-7 rel).  These bounds are
+# asserted through the PUBLIC sm.* path; the CPU run pins the crafted code
+# and the XLA:CPU lowerings, the SM_TEST_BACKEND=tpu suite run pins Mosaic.
+_TRIG_TOLS = {"sin": 5e-7, "cos": 5e-7, "tan": 1e-6, "tanh": 5e-7}
+
+
+def _trig_domain(op):
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        np.linspace(-2 * np.pi, 2 * np.pi, 50_001),
+        np.linspace(-1e3, 1e3, 20_001),
+        rng.uniform(1e4, 3e7, 10_000) * rng.choice([-1.0, 1.0], 10_000),
+    ])
+    if op == "tanh":
+        x = np.concatenate([
+            np.linspace(-30, 30, 50_001),
+            np.linspace(-0.6, 0.6, 50_001),
+            [0.0, 1e-8, 0.5, 9.2, 100.0],
+        ])
+    return x.astype(np.float32)
+
+
+@pytest.mark.parametrize("op", ["sin", "cos", "tan", "tanh"])
+def test_trig_accuracy_contract(op):
+    import simplemath_tpu as sm
+
+    x = _trig_domain(op)
+    got = np.asarray(getattr(sm, op)(sm.Array(x)).jax(), dtype=np.float64)
+    want = getattr(np, op)(x.astype(np.float64))
+    # tan poles: where the f64 oracle exceeds 1e6, the f32 INPUT rounding
+    # alone moves the true value by more than any implementation could fix.
+    ok = np.isfinite(want) & (np.abs(want) < 1e6)
+    abs_err = np.abs(got[ok] - want[ok])
+    denom = np.abs(want[ok])
+    rel = denom > 1e-3
+    tol = _TRIG_TOLS[op]
+    assert abs_err[~rel].max(initial=0.0) < 1e-6, op
+    assert (abs_err[rel] / denom[rel]).max() < tol, (
+        op, float((abs_err[rel] / denom[rel]).max()))
+
+
+def test_tanh_crafted_edges():
+    # Saturation to exactly +-1.0f where f32 tanh saturates; sign/NaN edges.
+    got = np.asarray(tc.tanh_f32(np.array(
+        [np.inf, -np.inf, 10.0, -10.0, 0.0, -0.0, 1e-30], np.float32)))
+    np.testing.assert_array_equal(got[:4], [1.0, -1.0, 1.0, -1.0])
+    assert got[4] == 0.0 and got[5] == 0.0
+    np.testing.assert_allclose(got[6], 1e-30, rtol=1e-6)
+    assert np.isnan(np.asarray(tc.tanh_f32(np.float32(np.nan))))
+
+
+def test_trig_fused_uses_contract_impl(rng):
+    # sm.fuse chains route trig through the same transcendental tiles (the
+    # crafted tanh, not the sloppy native lowering).
+    import simplemath_tpu as sm
+
+    x = rng.uniform(-3.0, 3.0, (8, 128)).astype(np.float32)
+    fused = sm.fuse(lambda v: sm.tanh(sm.sin(v)))
+    got = np.asarray(fused(x).jax(), dtype=np.float64)
+    want = np.tanh(np.sin(x.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

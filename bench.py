@@ -42,7 +42,7 @@ def _scalar_sync(x):
     """Force completion with a 4-byte D2H (the relayed tunnel moves large
     buffers at ~50 KB/s, so never materialize full outputs while timing)."""
     total = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(x))
-    return float(total)
+    return float(jnp.real(total))  # real() so complex operands sync too
 
 
 def _timeit(fn, make_args, warmup: int = 1, repeats: int = 4):
@@ -665,6 +665,60 @@ def bench_bmm(B=8, n=1024, dtype="bfloat16"):
     }
 
 
+def bench_c64_matmul(n=2048):
+    """complex64 matmul TF/s through public ``sm.dot`` — the TPU-native
+    product.h:168-224 analog (three f32 MXU contractions via the Gauss
+    split, ops/complexmm.py).  ``TFLOPs`` uses the standard 8*n^3 real-op
+    count of the naive complex product; ``mxu_TFLOPs`` counts the 6*n^3
+    the Gauss form actually executes.
+
+    Guarded by the subprocess c64 capability probe: the axon tunnel
+    backend in this environment returns UNIMPLEMENTED for every c64
+    computation AND wedges the client afterwards (measured — it killed
+    every subsequent row of a full bench run), so on such backends the
+    row records an explicit skip instead of poisoning the run.  XLA:TPU
+    proper supports c64; the math itself is validated in
+    tests/test_complex_and_debug.py on every capable backend."""
+    import simplemath_tpu as sm
+    from simplemath_tpu.config import backend_supports_complex64
+
+    if not backend_supports_complex64():
+        return {
+            "skipped": "active backend cannot execute complex64 "
+            "(tunneled TPU plugin; probe ran in a subprocess)"
+        }
+
+    scale = np.float32(1.0 / n)
+
+    def build_run(L):
+        def run(a, b):
+            def body(i, acc):
+                return (sm.dot(sm.Array(acc), sm.Array(b)).jax() * scale).astype(
+                    jnp.complex64
+                )
+
+            out = jax.lax.fori_loop(0, L, body, a)
+            # real-valued output so the scalar-sync float() works
+            return jnp.real(out) + jnp.imag(out)
+
+        return run
+
+    def make_args(i):
+        ka, kb, kc, kd = jax.random.split(jax.random.PRNGKey(i), 4)
+        mk = lambda kr, ki: (  # noqa: E731
+            jax.random.normal(kr, (n, n), jnp.float32)
+            + 1j * jax.random.normal(ki, (n, n), jnp.float32)
+        ).astype(jnp.complex64)
+        return (mk(ka, kb), mk(kc, kd))
+
+    t = _per_iter_time(build_run, make_args, 16, 272)
+    return {
+        "time_s": t,
+        "TFLOPs": 8 * n**3 / t / 1e12,
+        "mxu_TFLOPs": 6 * n**3 / t / 1e12,
+    }
+
+
 def bench_long_horizon(batch=512, horizon=1000, iters=2):
     """O(log H) payoff at scale: batched cartpole solves at H=1000 with the
     SoA associative backward vs the SoA sequential backward (round-1
@@ -730,11 +784,19 @@ def bench_horizon_crossover(batch=8, horizons=(1024, 4096, 16384), iters=1):
     return out
 
 
-def bench_weak_scaling_cpu_proxy():
-    """Weak-scaling efficiency on the 8-virtual-device CPU mesh, run in a
-    subprocess so the TPU-pinned parent process is untouched (the free
-    structural proxy for the >=80% 2-host target — collective graph
-    identical, absolute times are CPU times)."""
+def bench_sharding_overhead_proxy():
+    """Sharding-machinery cost on the 8-virtual-device CPU mesh at CONSTANT
+    total work (same batch unsharded on one device vs shard_map'd over 8),
+    run in a subprocess so the TPU-pinned parent process is untouched.
+
+    This row deliberately reports ONLY the overhead ratio: a weak-scaling
+    efficiency curve on virtual CPU devices is physically meaningless (the
+    "devices" share the same cores, so n-fold work on fixed silicon must
+    slow down — BENCH_r03's 0.26 "efficiency" measured exactly that,
+    round-3 VERDICT weak #6).  The weak_scaling_report harness remains for
+    real multi-chip meshes, where per-device silicon actually scales; the
+    collective structure itself is validated by dryrun_multichip and the
+    sharded test suite."""
     import json as _json
     import subprocess
     import sys
@@ -742,12 +804,9 @@ def bench_weak_scaling_cpu_proxy():
     child = (
         "import jax; jax.config.update('jax_platforms','cpu');\n"
         "import json\n"
-        "from simplemath_tpu.parallel.scaling import ("
-        "weak_scaling_report, sharding_overhead_report)\n"
-        "r = weak_scaling_report(per_device_batch=32, horizon=20,"
-        " iterations=2, device_counts=(1,2,4,8))\n"
-        "r['sharding_overhead'] = sharding_overhead_report("
-        "total_batch=256, horizon=20, iterations=2)\n"
+        "from simplemath_tpu.parallel.scaling import sharding_overhead_report\n"
+        "r = sharding_overhead_report(total_batch=512, horizon=50,"
+        " iterations=3)\n"
         "print('WSR ' + json.dumps(r))\n"
     )
     import os
@@ -961,6 +1020,10 @@ def main():
                 "bmm_bf16",
                 lambda: bench_bmm(4 if args.quick else 8, 512 if args.quick else 1024),
             ),
+            (
+                "c64_matmul",
+                lambda: bench_c64_matmul(512 if args.quick else 2048),
+            ),
             ("pendulum", lambda: bench_pendulum(quick=args.quick)),
             ("quadrotor_replan", lambda: bench_quadrotor_replan()),
             (
@@ -977,7 +1040,7 @@ def main():
                 ),
             ),
             ("sharded_overhead", lambda: bench_sharded_overhead()),
-            ("weak_scaling_cpu_proxy", bench_weak_scaling_cpu_proxy),
+            ("sharding_overhead_8dev_proxy", bench_sharding_overhead_proxy),
         ]:
             try:
                 details[name] = fn()
@@ -1008,7 +1071,11 @@ def main():
     details["cartpole"] = cart
     print(f"cartpole: {cart}", file=err)
 
-    with open("bench_details.json", "w") as f:
+    # --quick runs small shapes whose numbers are not comparable to the
+    # full artifact; keep them out of bench_details.json so committed
+    # claims (tools/check_claims.py) always diff against a FULL run.
+    out_name = "bench_details_quick.json" if args.quick else "bench_details.json"
+    with open(out_name, "w") as f:
         json.dump(details, f, indent=2)
 
     print(

@@ -26,3 +26,10 @@ fi
 
 echo "== quick benchmark smoke =="
 python bench.py --quick
+
+echo "== committed-claims vs latest full-bench artifact =="
+# Claims in PARITY.md / BASELINE.md must match the committed
+# bench_details.json (the last FULL bench run) within stated tolerances —
+# prose drifting from the recorded artifact fails CI (round-3 VERDICT
+# weak #2).  Runs against the committed artifact, not the --quick smoke.
+python tools/check_claims.py --details bench_details.json PARITY.md BASELINE.md

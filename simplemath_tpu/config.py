@@ -109,6 +109,49 @@ class Config:
 
 config = Config()
 
+_c64_probe_result: Optional[bool] = None
+
+
+def backend_supports_complex64() -> bool:
+    """Whether the ACTIVE backend can execute complex64 computations.
+
+    XLA:TPU proper supports c64 (decomposed to f32 pairs), but tunneled /
+    experimental device plugins may not: the axon tunnel in this
+    environment returns UNIMPLEMENTED for every c64 op AND leaves the
+    client wedged afterwards — so the probe runs in a THROWAWAY SUBPROCESS
+    (a failed in-process attempt would poison all subsequent device work).
+    Cached per process; override with SM_TPU_C64=0/1.  CPU always True.
+    """
+    global _c64_probe_result
+    env = _env_str("SM_TPU_C64", "")
+    if env != "":
+        return env not in ("0", "false")
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return True
+    if _c64_probe_result is None:
+        import subprocess
+        import sys
+
+        probe = (
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            "z = jnp.asarray(np.array([1+2j], np.complex64))\n"
+            "assert abs(complex(np.asarray(z + z)[0]) - (2+4j)) < 1e-5\n"
+            "print('C64_OK')\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            _c64_probe_result = "C64_OK" in proc.stdout
+        except Exception:
+            _c64_probe_result = False
+    return _c64_probe_result
+
 
 def update(**kwargs) -> Config:
     """Update global config fields; returns the config for chaining."""

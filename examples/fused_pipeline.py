@@ -29,10 +29,29 @@ y = pipeline(a, e_row)
 print("launches:", {k: v for k, v in dispatch.counts().items()
                     if k.startswith("elementwise")})   # {'elementwise:fused': 1}
 
-# Same chain unfused: one launch per op (pow, exp) = 2x the HBM traffic.
+# The same chain WITHOUT sm.fuse: since round 4 the deferred-eager queue
+# (ops/lazy.py) records the two eager calls and flushes them as one fused
+# kernel at materialization — so this also costs ONE launch, at .jax() time.
 dispatch.reset()
 y_chain = sm.exp(sm.pow(a, e_row))
-print("unfused launches:", {k: v for k, v in dispatch.counts().items()
-                            if k.startswith("elementwise")})
+print("eager-chain launches before materialization:",
+      {k: v for k, v in dispatch.counts().items()
+       if k.startswith("elementwise")})                # {} — nothing ran yet
+val = y_chain.jax()                                     # flush: ONE launch
+print("eager-chain launches after materialization:",
+      {k: v for k, v in dispatch.counts().items()
+       if k.startswith("elementwise")})                # {'elementwise:fused': 1}
 
-print("max |fused - chain| =", float(jnp.max(jnp.abs(y.jax() - y_chain.jax()))))
+# With the queue disabled (SM_DEFERRED_EAGER=0) this chain is the round-3
+# behavior: one launch per op (pow, exp) = 2x the HBM traffic.
+
+print("max |fused - chain| =", float(jnp.max(jnp.abs(y.jax() - val))))
+
+# Iterated recurrences run INSIDE one launch with the carry VMEM-resident:
+ema = sm.fuse(lambda acc, x: acc * 0.9 + sm.square(x), iterations=50)
+dispatch.reset()
+z = ema(sm.zeros(n, n), a)
+print("50-iteration recurrence launches:",
+      {k: v for k, v in dispatch.counts().items()
+       if k.startswith("elementwise")})                # {'elementwise:fused': 1}
+print("ema[0,0] =", float(z[0, 0].jax()))

@@ -54,6 +54,16 @@ import os as _os
 _VMEM_BUDGET_BYTES = int(
     _os.environ.get("SM_EW_VMEM_BUDGET", 6 * 1024 * 1024)
 )
+# Iterated kernels (in-kernel fori_loop carry) are compute-bound with their
+# tiles resident across all iterations, so they want larger blocks than the
+# streaming double-buffer budget allows: swept on v5e at 2048^2 f32
+# (tools/tune_fused.py), (256, 1024) blocks under a 26 MB budget ran
+# 60-63 us vs 64-76 us for the 6 MB-budget (128, 1024) choice — best or
+# tied in every alternated round against XLA's 62-68 us.
+_ITER_VMEM_BUDGET_BYTES = int(
+    _os.environ.get("SM_EW_ITER_VMEM_BUDGET", 26 * 1024 * 1024)
+)
+_ITER_BLOCK_ROWS = 256
 # Scoped VMEM ceiling handed to Mosaic (v5e has 128 MiB; the default scoped
 # limit is 16 MiB, too small for wide double-buffered blocks).
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
@@ -64,11 +74,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _choose_blocks(
-    out_shape: Sequence[int], rows: int, cols: int, n_buffers: int, itemsize: int
+    out_shape: Sequence[int], rows: int, cols: int, n_buffers: int,
+    itemsize: int, budget: int = None,
 ):
     """Block extents for the trailing two dims; leading dims get block 1.
 
     Rows shrink until the double-buffered working set fits the budget."""
+    budget = budget or _VMEM_BUDGET_BYTES
     nd = len(out_shape)
     blocks = [1] * nd
     if nd >= 1:
@@ -77,7 +89,7 @@ def _choose_blocks(
         br = min(rows, out_shape[-2])
         padded_cols = _round_up(blocks[-1], 128)
         per_row_bytes = padded_cols * itemsize * n_buffers * 2
-        while br > 8 and _round_up(br, 8) * per_row_bytes > _VMEM_BUDGET_BYTES:
+        while br > 8 and _round_up(br, 8) * per_row_bytes > budget:
             br //= 2
         blocks[-2] = br
     return tuple(blocks)
@@ -206,7 +218,8 @@ def _build_call(
         [jnp.dtype(out_dtype).itemsize] + [jnp.dtype(d).itemsize for d in in_dtypes]
     )
     blocks = _choose_blocks(
-        out_shape, rows, cols, n_buffers=len(in_shapes) + 1, itemsize=itemsize
+        out_shape, rows, cols, n_buffers=len(in_shapes) + 1, itemsize=itemsize,
+        budget=_ITER_VMEM_BUDGET_BYTES if iterations != 1 else None,
     )
     grid = tuple(_cdiv(out_shape[d], blocks[d]) for d in range(nd))
 
@@ -390,7 +403,8 @@ def pallas_elementwise(
         out_shape,
         jnp.dtype(out_dtype),
         config.interpret_mode(),
-        config.ew_block_rows,
+        config.ew_block_rows if iterations == 1
+        else min(config.ew_block_rows, _ITER_BLOCK_ROWS),
         config.ew_block_cols,
         donate,
         iterations,

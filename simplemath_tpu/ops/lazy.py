@@ -318,10 +318,18 @@ def defer_pow(a, b):
 @functools.lru_cache(maxsize=1024)
 def _compose(tree, specs, impl):
     """Tree + operand signature -> FusedExpr (the same node constructors
-    ``sm.fuse`` traces through, so tiles and impl selection are shared)."""
+    ``sm.fuse`` traces through, so tiles and impl selection are shared).
+
+    Each spec carries the operand's weak_type flag: a Python-scalar
+    snapshot is a WEAK 0-d array, and dropping that here would make the
+    node dtype inference promote (e.g. f32 chain + weak-f64 scalar under
+    x64 -> f64 nodes, which routes transcendentals to the f64/jnp branch —
+    on TPU that is the sloppy native log, a measured 1e-4 error)."""
     from . import fusion
 
-    sds = tuple(jax.ShapeDtypeStruct(s, jnp.dtype(d)) for s, d in specs)
+    sds = tuple(
+        jax.ShapeDtypeStruct(s, jnp.dtype(d), weak_type=w) for s, d, w in specs
+    )
     leaves = [fusion.FusedExpr(fusion._leaf_fn(i), sds) for i in range(len(sds))]
 
     def build(t):
@@ -377,7 +385,8 @@ def _materialize(pending) -> Array:
             )
 
     specs = tuple(
-        (tuple(o.shape), jnp.dtype(o.dtype).name) for o in operands
+        (tuple(o.shape), jnp.dtype(o.dtype).name, bool(getattr(o, "weak_type", False)))
+        for o in operands
     )
     expr = _compose(tree, specs, config.transcendental_impl)
     if engine.pallas_wanted(shape) and elementwise.supported(

@@ -178,6 +178,31 @@ def test_fused_iterated_1d_and_flattened_paths(rng):
         config.kernel_backend = old
 
 
+def test_fused_iterated_with_donated_carry(rng):
+    # iterations + donate=carry: the in-place write composes with the
+    # in-kernel loop (the exact shape of the fused_pipeline bench).
+    old = _force_pallas()
+    try:
+        a = rng.uniform(0.5, 2.0, (16, 256)).astype(np.float32)
+        e = rng.uniform(-1.0, 1.0, (1, 256)).astype(np.float32)
+
+        def chain(acc, x, y):
+            return acc * np.float32(1e-3) + sm.exp(
+                sm.pow(x + acc * np.float32(1e-6), y)
+            )
+
+        L = 4
+        f_iter = sm.fuse(chain, donate=0, iterations=L)
+        got = np.asarray(f_iter(np.zeros_like(a), a, e).jax())
+        f_once = sm.fuse(chain)
+        want = np.zeros_like(a)
+        for _ in range(L):
+            want = np.asarray(f_once(want, a, e).jax())
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    finally:
+        config.kernel_backend = old
+
+
 def test_fused_iterated_shape_mismatch_raises(rng):
     a = rng.standard_normal((8, 128)).astype(np.float32)
     e = rng.standard_normal((1, 128)).astype(np.float32)

@@ -325,6 +325,61 @@ def bench_dot1d(n=32 * 1024 * 1024):
     }
 
 
+def bench_fused_map_reduce(n=32 * 1024 * 1024):
+    """Fused map+reduce through the public API: ``sm.fuse(lambda a, b:
+    sm.sum(sm.square(a - b)))`` — squared L2 distance of two 128 MB
+    operands in ONE HBM pass (the generalization of the fused 1-D dot;
+    round-4 FusedReduction).  vs_xla compares the same expression as raw
+    jnp ops (which XLA also fuses into one pass — parity is the bar)."""
+    import simplemath_tpu as sm
+
+    # The loop-dependency perturbation rides as a 0-d OPERAND inside the
+    # fused expression, so the kernel's HBM traffic is exactly the two
+    # operand reads — the same pass structure XLA's fused comparator has.
+    fused = sm.fuse(lambda a, b, eps: sm.sum(sm.square(a + eps - b)))
+
+    def build_run(L):
+        def run(a, b):
+            def body(i, acc):
+                s = fused(a, b, acc * jnp.float32(1e-9)).jax()
+                return acc + s * jnp.float32(1e-9)
+
+            return jax.lax.fori_loop(0, L, body, jnp.float32(0.0))
+
+        return run
+
+    def build_run_xla(L):
+        def run(a, b):
+            def body(i, acc):
+                s = jnp.sum(jnp.square(a + acc * jnp.float32(1e-9) - b))
+                return acc + s * jnp.float32(1e-9)
+
+            return jax.lax.fori_loop(0, L, body, jnp.float32(0.0))
+
+        return run
+
+    def make_args(i):
+        ka, kb = jax.random.split(jax.random.PRNGKey(i))
+        return (
+            jax.random.normal(ka, (n,), jnp.float32),
+            jax.random.normal(kb, (n,), jnp.float32),
+        )
+
+    t = _per_iter_time(build_run, make_args, 16, 272)
+    t_xla = _per_iter_time(build_run_xla, make_args, 16, 272)
+    # One pass: both operands read once (2n floats) — the eps perturbation
+    # is a 0-d operand folded into the kernel, matching XLA's fusion.
+    gbps = 2 * n * 4 / t / 1e9
+    from simplemath_tpu.utils.profiling import hbm_bandwidth_bytes_per_s
+
+    return {
+        "time_s": t,
+        "GBps": gbps,
+        "roofline_fraction": gbps * 1e9 / hbm_bandwidth_bytes_per_s(),
+        "vs_xla": t_xla / t,
+    }
+
+
 def bench_reduce_sum(n=64 * 1024 * 1024):
     """Public ``Array.sum()`` -> Pallas tiled reduction: HBM GB/s (256 MB
     operand, true HBM streaming)."""
@@ -1000,6 +1055,12 @@ def main():
                 "reduce_sum",
                 lambda: bench_reduce_sum(
                     1 << 20 if args.quick else 64 * 1024 * 1024
+                ),
+            ),
+            (
+                "fused_map_reduce",
+                lambda: bench_fused_map_reduce(
+                    1 << 20 if args.quick else 32 * 1024 * 1024
                 ),
             ),
             (

@@ -150,10 +150,16 @@ def _reduce_free(name):
         from .ops import fusion
 
         if fusion.is_fused(a):
-            # Reductions can't join a fused elementwise chain; raise the
-            # standard fuse error instead of letting asarray() fail with a
-            # confusing coercion message (round-3 advisor, low).
-            raise TypeError(f"sm.{name} is not supported inside sm.fuse")
+            # A FULL reduction may be the ROOT of a fused function: the
+            # chain then executes as a single-pass map+reduce kernel
+            # (fusion.FusedReduction).  Axis/keepdims reductions still
+            # raise the standard fuse error.
+            if axis is None and not keepdims:
+                return fusion.reduce_node(name, a)
+            raise TypeError(
+                f"sm.{name} with axis/keepdims is not supported inside "
+                "sm.fuse (only full reductions fuse)"
+            )
         return getattr(asarray(a), name)(axis=axis, keepdims=keepdims)
 
     fn.__name__ = name

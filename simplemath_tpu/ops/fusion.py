@@ -24,10 +24,16 @@ cache (ops/elementwise.py keys on tile-fn identity).
 
 Supported inside a fused function: the registered elementwise ops
 (+ - * / // % maximum minimum negative abs sqrt square, comparisons),
-``sm.exp/log/exp2/log2`` and ``sm.pow`` (static-integer exponents
-specialize to repeated squaring, exactly like the public path), with Python
-scalars as constants.  Array-valued constants must be passed as arguments
-to the fused function — every array the kernel reads has to be an operand.
+``sm.exp/log/exp2/log2``, ``sm.sin/cos/tan/tanh`` and ``sm.pow``
+(static-integer exponents specialize to repeated squaring, exactly like the
+public path), with Python scalars as constants.  Array-valued constants
+must be passed as arguments to the fused function — every array the kernel
+reads has to be an operand.  A FULL ``sm.sum/mean/max/min`` may be the
+ROOT of the fused function: the whole chain then executes as a single-pass
+map+reduce kernel (``FusedReduction``)::
+
+    sqdist = sm.fuse(lambda a, b: sm.sum(sm.square(a - b)))
+    d = sqdist(x, y)           # ONE pass over HBM; (x-y)^2 never stored
 """
 
 from __future__ import annotations
@@ -155,8 +161,96 @@ class FusedExpr:
         return Array(jnp.asarray(self.fn(*operands)).astype(out_dtype))
 
 
+class FusedReduction:
+    """Root node: a FULL reduction over a fused elementwise expression.
+
+    ``sm.sum/mean/max/min`` applied to a FusedExpr (axis=None) produce one
+    of these; ``sm.fuse`` materializes it as a SINGLE-PASS map+reduce
+    kernel (ops/reduction.py::pallas_map_reduce): every operand streams
+    through HBM exactly once and the mapped expression never materializes
+    — the generalization of the fused 1-D dot (product.h's loops) to any
+    expression.  Reduction results are scalars and cannot be composed
+    further inside the same fused function."""
+
+    __slots__ = ("kind", "expr")
+
+    def __init__(self, kind: str, expr: FusedExpr):
+        self.kind = kind
+        self.expr = expr
+
+    def _no_compose(self, *_a, **_k):
+        raise TypeError(
+            "reduction results cannot be composed further inside sm.fuse; "
+            "make the reduction the LAST op of the fused function"
+        )
+
+    __add__ = __radd__ = __sub__ = __rsub__ = _no_compose
+    __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _no_compose
+    __floordiv__ = __mod__ = __pow__ = __neg__ = __abs__ = _no_compose
+
+    def materialize(self, operands) -> Array:
+        from . import elementwise, engine, reduction
+
+        expr = self.expr
+        kind = "sum" if self.kind == "mean" else self.kind
+        shape = expr.shape
+        dtype = expr.dtype
+        n = 1
+        for s in shape:
+            n *= s
+
+        def _full_or_scalar(o):
+            sh = tuple(jnp.shape(o))
+            sz = 1
+            for s in sh:
+                sz *= s
+            return sh == tuple(shape) or sz == 1
+
+        use_kernel = (
+            jnp.issubdtype(dtype, jnp.floating)
+            and dtype != jnp.dtype(jnp.float64)
+            and n > 0
+            and len(shape) >= 1
+            and engine.pallas_wanted(shape)
+            and elementwise.supported(
+                shape, tuple(o.dtype for o in operands), dtype
+            )
+            and all(_full_or_scalar(o) for o in operands)
+        )
+        if use_kernel:
+            total = reduction.pallas_map_reduce(expr.fn, kind, shape, *operands)
+        else:
+            jnp_fn = {"sum": jnp.sum, "max": jnp.max, "min": jnp.min}[kind]
+            total = jnp_fn(jnp.broadcast_to(jnp.asarray(expr.fn(*operands)), shape))
+        if self.kind == "mean":
+            total = total / n
+        if jnp.issubdtype(dtype, jnp.floating):
+            total = total.astype(dtype)
+        return Array(total)
+
+
+def reduce_node(kind: str, a) -> FusedReduction:
+    """api._reduce_free hook: full reduction of a fused expression."""
+    if isinstance(a, FusedReduction):
+        raise TypeError(
+            "a reduction result is a scalar and cannot be reduced again "
+            "inside sm.fuse"
+        )
+    if not isinstance(a, FusedExpr):
+        raise TypeError(f"sm.{kind} fused-reduction requires a fused expression")
+    return FusedReduction(kind, a)
+
+
+def _reject_reduction(*xs):
+    if any(isinstance(x, FusedReduction) for x in xs):
+        raise TypeError(
+            "reduction results cannot be composed further inside sm.fuse; "
+            "make the reduction the LAST op of the fused function"
+        )
+
+
 def is_fused(x) -> bool:
-    return isinstance(x, FusedExpr)
+    return isinstance(x, (FusedExpr, FusedReduction))
 
 
 def _lift(x, specs) -> FusedExpr:
@@ -187,6 +281,7 @@ def _lift(x, specs) -> FusedExpr:
 def binary_node(name: str, a, b) -> FusedExpr:
     from . import registry
 
+    _reject_reduction(a, b)
     if name == "pow":
         return pow_node(a, b)
     specs = (a if isinstance(a, FusedExpr) else b).specs
@@ -218,6 +313,7 @@ _TRANS_F64 = {
 def unary_node(name: str, a: FusedExpr) -> FusedExpr:
     from . import registry, transcendental
 
+    _reject_reduction(a)
     if not isinstance(a, FusedExpr):
         raise TypeError(f"unary fused op {name!r} requires a FusedExpr")
     if name in _TRANS_F64:
@@ -252,6 +348,7 @@ def pow_node(a, b) -> FusedExpr:
     squaring, everything else the correct-range-reduction float pow."""
     from . import engine, transcendental
 
+    _reject_reduction(a, b)
     specs = (a if isinstance(a, FusedExpr) else b).specs
     a = _lift(a, specs)
     a_float = jnp.issubdtype(a.dtype, jnp.floating)
@@ -340,20 +437,41 @@ def fuse(
     @functools.wraps(fn)
     def fused(*arrays):
         ops = [jnp.asarray(as_jax(a)) for a in arrays]
-        key = tuple((tuple(o.shape), jnp.dtype(o.dtype).name) for o in ops) + (
-            config.transcendental_impl,
-        )
+        key = tuple(
+            (tuple(o.shape), jnp.dtype(o.dtype).name,
+             bool(getattr(o, "weak_type", False)))
+            for o in ops
+        ) + (config.transcendental_impl,)
         expr = cache.get(key)
         if expr is None:
-            specs = tuple(jax.ShapeDtypeStruct(o.shape, o.dtype) for o in ops)
+            # weak_type must survive into the specs: a weak 0-d scalar
+            # argument would otherwise promote the whole chain (f32 chain +
+            # weak-f64 scalar under x64 -> f64 nodes -> the f64/jnp
+            # transcendental branch, which on TPU is the sloppy native log
+            # — the same bug class fixed in ops/lazy.py::_compose).
+            specs = tuple(
+                jax.ShapeDtypeStruct(
+                    o.shape, o.dtype,
+                    weak_type=bool(getattr(o, "weak_type", False)),
+                )
+                for o in ops
+            )
             leaves = [FusedExpr(_leaf_fn(i), specs) for i in range(len(ops))]
             expr = fn(*leaves)
-            if not isinstance(expr, FusedExpr):
+            if not isinstance(expr, (FusedExpr, FusedReduction)):
                 raise TypeError(
                     "the function passed to sm.fuse must return a fused "
                     f"expression built from sm ops; got {type(expr).__name__}"
                 )
-            expr.aval  # force shape/dtype inference at trace time
+            if isinstance(expr, FusedReduction):
+                if iterations != 1:
+                    raise ValueError(
+                        "sm.fuse(iterations=...) does not compose with a "
+                        "reduction root (the result is a scalar)"
+                    )
+                expr.expr.aval  # force shape/dtype inference at trace time
+            else:
+                expr.aval  # force shape/dtype inference at trace time
             if iterations != 1 and (
                 expr.shape != tuple(ops[carry].shape)
                 or jnp.dtype(expr.dtype) != jnp.dtype(ops[carry].dtype)
@@ -365,6 +483,8 @@ def fuse(
                     f"{ops[carry].dtype}) so it can feed back"
                 )
             cache[key] = expr
+        if isinstance(expr, FusedReduction):
+            return expr.materialize(ops)
         return expr.materialize(
             ops, donate=donate, iterations=iterations, carry=carry
         )

@@ -252,6 +252,100 @@ def _build_dot1d(n, bn, in_dtype, interpret):
     ), ragged
 
 
+@functools.lru_cache(maxsize=128)
+def _build_map_reduce_1d(kind, tile_fn_id, in_shapes, in_dtypes, n, bn, interpret):
+    """Generic single-pass map+reduce: apply a composed elementwise tile
+    function to the operand blocks, accumulate with the reduction combine —
+    the generalization of ``_build_dot1d`` (whose map is `a*b`) to ANY
+    fused expression.  Broadcast (size-1) operands ride pinned (1,) blocks.
+    Ragged masking via the (bn,) index operand pinned to block 0 (see
+    ``_build_reduce_1d``)."""
+    from .elementwise import _TILE_FNS
+
+    tile_fn = _TILE_FNS[tile_fn_id]
+    tile_reduce, combine, init = _REDUCERS[kind]
+    grid = (_cdiv(n, bn),)
+    last = np.int32(grid[0] - 1)
+    ragged = n % bn != 0
+
+    def kernel(*refs):
+        if ragged:
+            *in_refs, idx_ref, out_ref, acc_ref = refs
+        else:
+            *in_refs, out_ref, acc_ref = refs
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            acc_ref[...] = jnp.full_like(acc_ref, init)
+
+        vals = tile_fn(*[r[...] for r in in_refs]).astype(jnp.float32)
+        if ragged:
+            gid = pl.program_id(0) * np.int32(bn) + idx_ref[...]
+            vals = jnp.where(gid < np.int32(n), vals, jnp.float32(init))
+        acc_ref[...] = combine(acc_ref[...], vals)
+
+        @pl.when(pl.program_id(0) == last)
+        def _finish():
+            out_ref[0, 0] = tile_reduce(acc_ref[...])
+
+    def in_spec(shape):
+        if shape[0] == 1 and n != 1:
+            return pl.BlockSpec((1,), lambda i: (_Z,), memory_space=pltpu.VMEM)
+        return pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM)
+
+    in_specs = [in_spec(s) for s in in_shapes]
+    if ragged:
+        in_specs.append(
+            pl.BlockSpec((bn,), lambda i: (_Z,), memory_space=pltpu.VMEM)
+        )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((bn,), jnp.float32)],
+        compiler_params=_sequential_params(interpret),
+        interpret=interpret,
+    ), ragged
+
+
+def pallas_map_reduce(tile_fn, kind, out_shape, *operands):
+    """Single-pass fused map+reduce over flat data: every operand streams
+    through HBM exactly once, the mapped expression never materializes,
+    and the cross-lane reduction happens once at the end.
+
+    Operands must each be full-``out_shape`` or single-element (scalars /
+    all-broadcast); callers with partially-broadcast operands fall back to
+    XLA (ops/fusion.py handles the routing).
+    """
+    from . import dispatch
+    from .elementwise import _tile_fn_id
+
+    dispatch.record("reduce_fused", kind)
+    n = int(math.prod(out_shape))
+    ops_flat = [
+        jnp.reshape(o, (-1,) if math.prod(jnp.shape(o)) > 1 else (1,))
+        for o in operands
+    ]
+    itemsize = max(jnp.dtype(o.dtype).itemsize for o in ops_flat)
+    bn = _block_1d(n, itemsize, n_inputs=len(ops_flat))
+    call, ragged = _build_map_reduce_1d(
+        kind,
+        _tile_fn_id(tile_fn),
+        tuple((int(o.shape[0]),) for o in ops_flat),
+        tuple(jnp.dtype(o.dtype) for o in ops_flat),
+        n,
+        bn,
+        config.interpret_mode(),
+    )
+    if ragged:
+        out = call(*ops_flat, jnp.arange(bn, dtype=jnp.int32))
+    else:
+        out = call(*ops_flat)
+    return out[0, 0]
+
+
 def pallas_dot1d(a, b):
     """1-D dot product fused multiply+reduce — the working TPU version of
     the reference's ``dot_product`` SIMD loops (product.h:74-116): both

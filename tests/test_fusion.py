@@ -213,14 +213,67 @@ def test_fused_iterated_shape_mismatch_raises(rng):
 
 
 @pytest.mark.parametrize("op", ["sum", "mean", "max", "min"])
-def test_fused_reduction_raises_standard_error(op, rng):
-    # Reductions route through _reduce_free; on a fused operand they must
-    # raise the standard fuse TypeError, not an asarray coercion failure
-    # (round-3 advisor, low).
-    a = rng.standard_normal((4, 4)).astype(np.float32)
-    fused = sm.fuse(lambda x: getattr(sm, op)(sm.square(x)))
-    with pytest.raises(TypeError, match="not supported inside sm.fuse"):
+def test_fused_map_reduce_matches_numpy(op, rng):
+    # Full reductions may ROOT a fused function: the chain runs as a
+    # single-pass map+reduce kernel (FusedReduction -> pallas_map_reduce).
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((64, 256)).astype(np.float32)
+        b = rng.standard_normal((64, 256)).astype(np.float32)
+        fused = sm.fuse(lambda x, y: getattr(sm, op)(sm.square(x - y)))
+        dispatch.reset()
+        got = float(fused(a, b).jax())
+        assert dispatch.count("reduce_fused", "sum" if op == "mean" else op) == 1
+        d = (a.astype(np.float64) - b.astype(np.float64)) ** 2
+        want = getattr(np, op if op != "max" else "max")(d) if op != "mean" else d.mean()
+        want = {"sum": d.sum(), "mean": d.mean(), "max": d.max(), "min": d.min()}[op]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_map_reduce_broadcast_falls_back(rng):
+    # Partially-broadcast operands can't ravel into the 1-D kernel; the
+    # fallback (XLA) path must still be a correct single materialization.
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((32, 128)).astype(np.float32)
+        row = rng.standard_normal((1, 128)).astype(np.float32)
+        fused = sm.fuse(lambda x, r: sm.sum(x * r))
+        got = float(fused(a, row).jax())
+        np.testing.assert_allclose(
+            got, (a.astype(np.float64) * row.astype(np.float64)).sum(),
+            rtol=1e-4,
+        )
+    finally:
+        config.kernel_backend = old
+
+
+def test_fused_reduction_must_be_root(rng):
+    a = rng.standard_normal((8, 32)).astype(np.float32)
+    fused = sm.fuse(lambda x: sm.sum(sm.square(x)) + 1.0)
+    with pytest.raises(TypeError, match="cannot be composed further"):
         fused(a)
+    fused_axis = sm.fuse(lambda x: sm.sum(sm.square(x), axis=0))
+    with pytest.raises(TypeError, match="axis/keepdims"):
+        fused_axis(a)
+
+
+def test_fused_map_reduce_ragged_and_1d(rng):
+    old = _force_pallas()
+    try:
+        # Ragged flat size (not a multiple of the block) through the
+        # masked path.
+        a = rng.standard_normal((3333,)).astype(np.float32)
+        fused = sm.fuse(lambda x: sm.sum(sm.abs(x)))
+        got = float(fused(a).jax())
+        np.testing.assert_allclose(got, np.abs(a.astype(np.float64)).sum(), rtol=1e-5)
+        # max with negative values exercises the -inf identity masking.
+        fused_max = sm.fuse(lambda x: sm.max(x * 2.0))
+        got2 = float(fused_max(a).jax())
+        np.testing.assert_allclose(got2, (a * 2.0).max(), rtol=1e-6)
+    finally:
+        config.kernel_backend = old
 
 
 def test_fused_under_jit(rng):
@@ -295,3 +348,19 @@ def test_fused_trig(rng):
     got = np.asarray(fused(a, b).jax())
     want = np.tanh(np.sin(a.astype(np.float64)) * np.cos(b.astype(np.float64)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_weak_scalar_argument_keeps_chain_dtype(rng):
+    # A weak 0-d scalar ARGUMENT (jnp.asarray(0.5) under x64 is weak f64)
+    # must not promote the chain: the expression stays f32 and log routes
+    # per the f32 contract, not the f64/jnp branch (the TPU-only 1e-4
+    # regression class fixed in round 4 for both fuse and the lazy queue).
+    import jax.numpy as jnp
+
+    a = rng.uniform(0.5, 2.0, (8, 128)).astype(np.float32)
+    fused = sm.fuse(lambda s, x: sm.log(sm.exp(x * s)))
+    out = fused(jnp.asarray(0.5), a)
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(
+        np.asarray(out.jax()), a * 0.5, rtol=1e-5, atol=1e-6
+    )

@@ -123,6 +123,43 @@ class LazyArray(Array):
         self._flush()
         super().fill(value)
 
+    # ------------------------------------------------------- fused reduce
+    def _lazy_reduce(self, kind: str):
+        """Full reduction of a pending chain WITHOUT flushing it: compose
+        the recorded tree and run map+reduce as ONE single-pass kernel
+        (fusion.FusedReduction) — `sm.sum(sm.square(a - b))` through the
+        plain eager API never materializes the mapped intermediate."""
+        from . import fusion
+
+        tree, operands, shape, dtype, _ = self._pending
+        specs = tuple(
+            (tuple(o.shape), jnp.dtype(o.dtype).name,
+             bool(getattr(o, "weak_type", False)))
+            for o in operands
+        )
+        expr = _compose(tree, specs, config.transcendental_impl)
+        return fusion.FusedReduction(kind, expr).materialize(operands)
+
+    def sum(self, axis=None, keepdims=False):
+        if self._pending is not None and axis is None and not keepdims:
+            return self._lazy_reduce("sum")
+        return super().sum(axis=axis, keepdims=keepdims)
+
+    def mean(self, axis=None, keepdims=False):
+        if self._pending is not None and axis is None and not keepdims:
+            return self._lazy_reduce("mean")
+        return super().mean(axis=axis, keepdims=keepdims)
+
+    def max(self, axis=None, keepdims=False):
+        if self._pending is not None and axis is None and not keepdims:
+            return self._lazy_reduce("max")
+        return super().max(axis=axis, keepdims=keepdims)
+
+    def min(self, axis=None, keepdims=False):
+        if self._pending is not None and axis is None and not keepdims:
+            return self._lazy_reduce("min")
+        return super().min(axis=axis, keepdims=keepdims)
+
 
 def _flatten_lazy(a: LazyArray):
     return (a.jax(),), None

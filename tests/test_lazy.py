@@ -206,3 +206,45 @@ def test_compose_cache_stable(rng):
     info2 = lazy._compose.cache_info()
     assert info2.hits > info1.hits
     assert info2.misses == info1.misses
+
+
+def test_eager_chain_reduction_is_single_pass(rng):
+    # sm.sum over a pending chain composes a map+reduce kernel instead of
+    # flushing the elementwise chain first: ONE launch, no intermediate.
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((64, 256)).astype(np.float32)
+        b = rng.standard_normal((64, 256)).astype(np.float32)
+        expr = sm.square(sm.subtract(sm.Array(a), sm.Array(b)))
+        dispatch.reset()
+        got = float(sm.sum(expr).jax())
+        counts = dispatch.counts()
+        assert counts.get("reduce_fused:sum") == 1, counts
+        assert not any(k.startswith("elementwise:") for k in counts), counts
+        want = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).sum()
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+    finally:
+        config.kernel_backend = old
+
+
+@pytest.mark.parametrize("op", ["sum", "mean", "max", "min"])
+def test_eager_chain_reductions_match_numpy(op, rng):
+    a = rng.uniform(0.5, 2.0, (32, 128)).astype(np.float32)
+    chain = sm.multiply(sm.add(sm.Array(a), 1.0), 2.0)
+    got = float(getattr(sm, op)(chain).jax())
+    d = (a.astype(np.float64) + 1.0) * 2.0
+    want = {"sum": d.sum(), "mean": d.mean(), "max": d.max(), "min": d.min()}[op]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # method spelling too
+    got_m = float(getattr(chain if hasattr(chain, op) else chain, op)().jax())
+    np.testing.assert_allclose(got_m, want, rtol=1e-5)
+
+
+def test_eager_chain_axis_reduction_flushes(rng):
+    # axis reductions flush the chain and use the normal path.
+    a = rng.standard_normal((8, 16)).astype(np.float32)
+    chain = sm.add(sm.Array(a), 1.0)
+    out = sm.sum(chain, axis=0)
+    np.testing.assert_allclose(
+        np.asarray(out.jax()), (a + 1.0).sum(axis=0), rtol=1e-5
+    )

@@ -207,8 +207,21 @@ def tan(a) -> Array:
 
 def tanh(a) -> Array:
     return _transcendental_unary("tanh", a)
-sign = _wrap1(jnp.sign)
-clip = _wrap1(jnp.clip)
+sign = _unary_engine("sign")
+
+
+def clip(a, a_min=None, a_max=None) -> Array:
+    """NumPy ``clip``; with both bounds it is a registered ternary
+    elementwise op (composes with sm.fuse and the deferred-eager queue)."""
+    if a_min is None or a_max is None:
+        from .ops import fusion
+
+        if fusion.is_fused(a):
+            raise TypeError(
+                "sm.clip inside sm.fuse requires both bounds"
+            )
+        return Array(jnp.clip(asarray(a).jax(), a_min, a_max))
+    return engine.ternary("clip", a, a_min, a_max)
 cumsum = _wrap1(jnp.cumsum)
 sort = _wrap1(jnp.sort)
 expand_dims = _wrap1(jnp.expand_dims)
@@ -228,9 +241,9 @@ def matmul(a, b) -> Array:
 
 
 def where(cond, x, y) -> Array:
-    from .array import as_jax
-
-    return Array(jnp.where(as_jax(cond), as_jax(x), as_jax(y)))
+    """Elementwise select — a registered ternary op: composes with
+    sm.fuse and the deferred-eager queue like the binary arithmetic."""
+    return engine.ternary("where", cond, x, y)
 
 
 def concatenate(arrays, axis=0) -> Array:

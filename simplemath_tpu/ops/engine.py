@@ -117,12 +117,59 @@ def unary_eager(name: str, a: Any) -> Array:
     return Array(out)
 
 
+def ternary(name: str, a: Any, b: Any, c: Any) -> Array:
+    from . import dispatch, fusion, lazy
+
+    if fusion.is_fused(a) or fusion.is_fused(b) or fusion.is_fused(c):
+        return fusion.ternary_node(name, a, b, c)
+    dispatch.record("engine", name)
+    if registry.get_op(name).pallas_ok:
+        out = lazy.defer_ternary(name, a, b, c)
+        if out is not None:
+            return out
+    return ternary_eager(name, a, b, c)
+
+
+def ternary_eager(name: str, a: Any, b: Any, c: Any) -> Array:
+    """Non-deferring compute path (also the lazy single-op flush)."""
+    op = registry.get_op(name)
+    av, bv, cv = as_jax(a), as_jax(b), as_jax(c)
+    br = broadcast_shapes(
+        broadcast_shapes(jnp.shape(av), jnp.shape(bv)).result_shape,
+        jnp.shape(cv),
+    )
+    out = None
+    if all(_is_arraylike(v) for v in (av, bv, cv)):
+        out_dtype = jax.eval_shape(
+            op.fn,
+            jnp.asarray(av), jnp.asarray(bv), jnp.asarray(cv),
+        ).dtype
+        if _use_pallas(
+            op,
+            br.result_shape,
+            tuple(jnp.asarray(v).dtype for v in (av, bv, cv)),
+            out_dtype,
+        ):
+            out = elementwise.pallas_elementwise(
+                op.tile(),
+                br.result_shape,
+                out_dtype,
+                jnp.asarray(av), jnp.asarray(bv), jnp.asarray(cv),
+                name=name,
+            )
+    if out is None:
+        out = op.fn(av, bv, cv)
+    return Array(out)
+
+
 def apply_op(name: str, *operands) -> Array:
     """Public entry for registered (incl. user) ops — the reference's custom
     operator hook (README.md:119-133)."""
     op = registry.get_op(name)
     if op.arity == 1:
         return unary(name, *operands)
+    if op.arity == 3:
+        return ternary(name, *operands)
     return binary(name, *operands)
 
 

@@ -125,6 +125,28 @@ class FusedExpr:
     def __abs__(self):
         return unary_node("abs", self)
 
+    # Comparisons build bool-valued nodes (for sm.where conditions etc.).
+    def __eq__(self, o):
+        return binary_node("equal", self, o)
+
+    def __ne__(self, o):
+        return binary_node("not_equal", self, o)
+
+    def __lt__(self, o):
+        return binary_node("less", self, o)
+
+    def __le__(self, o):
+        return binary_node("less_equal", self, o)
+
+    def __gt__(self, o):
+        return binary_node("greater", self, o)
+
+    def __ge__(self, o):
+        return binary_node("greater_equal", self, o)
+
+    def __hash__(self):
+        return id(self)
+
     # ---------------------------------------------------------- materialize
     def materialize(self, operands, donate=None, iterations=1, carry=0) -> Array:
         from . import elementwise, engine
@@ -395,10 +417,29 @@ def pow_node(a, b) -> FusedExpr:
     return FusedExpr(fn, specs)
 
 
+def ternary_node(name: str, a, b, c) -> FusedExpr:
+    from . import registry
+
+    _reject_reduction(a, b, c)
+    specs = next(x for x in (a, b, c) if isinstance(x, FusedExpr)).specs
+    a = _lift(a, specs)
+    b = _lift(b, specs)
+    c = _lift(c, specs)
+    tile = registry.get_op(name).tile()
+    fa, fb, fc = a.fn, b.fn, c.fn
+
+    def fn(*args):
+        return tile(fa(*args), fb(*args), fc(*args))
+
+    return FusedExpr(fn, specs)
+
+
 def apply_by_name(name: str, *args) -> FusedExpr:
     """Dispatch hook for the free-function layer (api._wrap1/_wrap2)."""
     if len(args) == 1:
         return unary_node(name, args[0])
+    if len(args) == 3:
+        return ternary_node(name, *args)
     return binary_node(name, *args)
 
 

@@ -138,7 +138,9 @@ class LazyArray(Array):
             for o in operands
         )
         expr = _compose(tree, specs, config.transcendental_impl)
-        return fusion.FusedReduction(kind, expr).materialize(operands)
+        return fusion.FusedReduction(kind, expr).materialize(
+            _narrow_weak_scalars(operands, dtype)
+        )
 
     def sum(self, axis=None, keepdims=False):
         if self._pending is not None and axis is None and not keepdims:
@@ -198,30 +200,33 @@ def _shift_leaves(tree, off: int):
     )
 
 
-def _merge(frag_a, frag_b):
-    """Concatenate two operand lists (deduping identical objects) and remap
-    fragment B's leaf indices."""
-    tree_a, ops_a, *_ = frag_a
-    tree_b, ops_b, *_ = frag_b
-    index = {id(o): i for i, o in enumerate(ops_a)}
-    remap = []
-    ops = list(ops_a)
-    for o in ops_b:
-        i = index.get(id(o))
-        if i is None:
-            i = len(ops)
-            ops.append(o)
-            index[id(o)] = i
-        remap.append(i)
+def _merge(*frags):
+    """Concatenate the fragments' operand lists (deduping identical
+    objects) and remap each fragment's leaf indices into the merged list.
+    Returns ``(ops, tree_0, tree_1, ...)``."""
+    ops: list = []
+    index: dict = {}
+    out_trees = []
+    for tree, f_ops, *_ in frags:
+        remap = []
+        for o in f_ops:
+            i = index.get(id(o))
+            if i is None:
+                i = len(ops)
+                ops.append(o)
+                index[id(o)] = i
+            remap.append(i)
 
-    def rewrite(tree):
-        if tree[0] == "leaf":
-            return ("leaf", remap[tree[1]])
-        return tree[:1] + tuple(
-            rewrite(t) if isinstance(t, tuple) else t for t in tree[1:]
-        )
+        def rewrite(t, remap=remap):
+            if t[0] == "leaf":
+                return ("leaf", remap[t[1]])
+            return t[:1] + tuple(
+                rewrite(x, remap) if isinstance(x, tuple) else x
+                for x in t[1:]
+            )
 
-    return ops, tree_a, rewrite(tree_b)
+        out_trees.append(rewrite(tree))
+    return (ops, *out_trees)
 
 
 def enabled() -> bool:
@@ -295,6 +300,22 @@ def defer_binary(name: str, a, b):
     ops, ta, tb = _merge(fa, fb)
     return LazyArray(
         ("op2", name, ta, tb), ops, aval.shape, aval.dtype, fa[4] + fb[4] + 1
+    )
+
+
+def defer_ternary(name: str, a, b, c):
+    """Record a registry ternary op (where/clip)."""
+    if not (enabled() and _deferrable(a) and _deferrable(b) and _deferrable(c)):
+        return None
+    fa = _as_operand(a)
+    fb = _as_operand(b)
+    fc = _as_operand(c)
+    broadcast_shapes(broadcast_shapes(fa[2], fb[2]).result_shape, fc[2])
+    aval = _infer(name, _sig(fa), _sig(fb), _sig(fc))
+    ops, ta, tb, tc = _merge(fa, fb, fc)
+    return LazyArray(
+        ("op3", name, ta, tb, tc), ops, aval.shape, aval.dtype,
+        fa[4] + fb[4] + fc[4] + 1,
     )
 
 
@@ -375,6 +396,8 @@ def _compose(tree, specs, impl):
             return leaves[t[1]]
         if tag == "op2":
             return fusion.binary_node(t[1], build(t[2]), build(t[3]))
+        if tag == "op3":
+            return fusion.ternary_node(t[1], build(t[2]), build(t[3]), build(t[4]))
         if tag == "op1":
             return fusion.unary_node(t[1], build(t[2]))
         if tag == "powi":
@@ -386,12 +409,40 @@ def _compose(tree, specs, impl):
     return build(tree)
 
 
+def _narrow_weak_scalars(operands, out_dtype):
+    """Under jax_enable_x64 a Python-scalar snapshot is a weak f64/i64 0-d
+    array, which would disqualify the whole chain from the Pallas path
+    (f64/i64 operands are not kernel-native).  A weak scalar's effective
+    compute dtype in a non-64-bit chain IS the narrow type (weak promotion
+    casts it anyway — XLA does exactly this cast), so narrow it up front.
+    64-bit chains (out dtype f64/i64) keep full scalar precision."""
+    if jnp.dtype(out_dtype) in (jnp.dtype(jnp.float64), jnp.dtype(jnp.int64)):
+        return operands
+    out = []
+    for o in operands:
+        if getattr(o, "weak_type", False) and getattr(o, "ndim", 1) == 0:
+            dt = jnp.dtype(o.dtype)
+            if dt == jnp.dtype(jnp.float64):
+                o = o.astype(jnp.float32)
+            elif dt == jnp.dtype(jnp.int64):
+                try:
+                    v = int(o)
+                except Exception:  # tracer — leave as-is (XLA path fuses)
+                    v = None
+                if v is not None and -(2**31) <= v < 2**31:
+                    o = o.astype(jnp.int32)
+        out.append(o)
+    return tuple(out)
+
+
 def _materialize(pending) -> Array:
     """One launch for the recorded chain.  Single-op trees replay the
     ORIGINAL eager path (identical tile object, dispatch name, and cache
     entry); real chains go through the fused kernel."""
     tree, operands, shape, dtype, n_nodes = pending
     from . import elementwise, engine, transcendental
+
+    operands = _narrow_weak_scalars(operands, dtype)
 
     tag = tree[0]
     single = all(t[0] == "leaf" for t in tree[1:] if isinstance(t, tuple))
@@ -405,6 +456,13 @@ def _materialize(pending) -> Array:
             return _as_recorded(
                 engine.binary_eager(
                     tree[1], operands[tree[2][1]], operands[tree[3][1]]
+                )
+            )
+        if tag == "op3":
+            return _as_recorded(
+                engine.ternary_eager(
+                    tree[1], operands[tree[2][1]], operands[tree[3][1]],
+                    operands[tree[4][1]],
                 )
             )
         if tag == "op1":

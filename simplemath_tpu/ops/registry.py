@@ -104,3 +104,10 @@ register_op("sin", jnp.sin, arity=1)
 register_op("cos", jnp.cos, arity=1)
 register_op("tan", jnp.tan, arity=1)
 register_op("tanh", jnp.tanh, arity=1)
+register_op("sign", jnp.sign, arity=1)
+
+# Ternary elementwise: select and clamp (NumPy where/clip semantics).
+# These ride the same engine/fusion/lazy machinery as the binary ops —
+# the generic Pallas kernel is N-operand already.
+register_op("where", lambda c, x, y: jnp.where(c, x, y), arity=3)
+register_op("clip", lambda a, lo, hi: jnp.clip(a, lo, hi), arity=3)

@@ -364,3 +364,22 @@ def test_fused_weak_scalar_argument_keeps_chain_dtype(rng):
     np.testing.assert_allclose(
         np.asarray(out.jax()), a * 0.5, rtol=1e-5, atol=1e-6
     )
+
+
+def test_fused_where_clip(rng):
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((8, 256)).astype(np.float32)
+        b = rng.standard_normal((8, 256)).astype(np.float32)
+        fused = sm.fuse(
+            lambda x, y: sm.clip(sm.where(x > y, x * 2.0, y - 1.0), -2.0, 2.0)
+        )
+        dispatch.reset()
+        got = np.asarray(fused(a, b).jax())
+        ew = {k: v for k, v in dispatch.counts().items()
+              if k.startswith("elementwise:")}
+        assert ew == {"elementwise:fused": 1}, dispatch.counts()
+        want = np.clip(np.where(a > b, a * 2.0, b - 1.0), -2.0, 2.0)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    finally:
+        config.kernel_backend = old

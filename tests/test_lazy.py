@@ -248,3 +248,32 @@ def test_eager_chain_axis_reduction_flushes(rng):
     np.testing.assert_allclose(
         np.asarray(out.jax()), (a + 1.0).sum(axis=0), rtol=1e-5
     )
+
+
+def test_where_clip_sign_defer_and_fuse(rng):
+    old = _force_pallas()
+    try:
+        a = rng.standard_normal((16, 256)).astype(np.float32)
+        b = rng.standard_normal((16, 256)).astype(np.float32)
+        # where over a lazy chain: one fused launch at materialization.
+        out = sm.where(sm.Array(a) > 0, sm.square(sm.Array(a)), sm.Array(b))
+        assert isinstance(out, lazy.LazyArray)
+        dispatch.reset()
+        got = np.asarray(out.jax())
+        ew = {k: v for k, v in dispatch.counts().items()
+              if k.startswith("elementwise:")}
+        assert ew == {"elementwise:fused": 1}, dispatch.counts()
+        np.testing.assert_allclose(got, np.where(a > 0, a * a, b), rtol=1e-6)
+        # clip with scalar bounds chains too.
+        out2 = sm.clip(sm.multiply(sm.Array(a), 2.0), -1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(out2.jax()), np.clip(a * 2.0, -1.0, 1.0), rtol=1e-6
+        )
+        # sign rides the unary engine.
+        out3 = sm.sign(sm.Array(a))
+        np.testing.assert_array_equal(np.asarray(out3.jax()), np.sign(a))
+        # one-sided clip falls back to jnp (no deferral) but still works.
+        out4 = sm.clip(sm.Array(a), None, 0.5)
+        np.testing.assert_allclose(np.asarray(out4.jax()), np.clip(a, None, 0.5))
+    finally:
+        config.kernel_backend = old

@@ -192,14 +192,6 @@ def _as_operand(x):
     return ("leaf", 0), [v], tuple(v.shape), v.dtype, 1
 
 
-def _shift_leaves(tree, off: int):
-    if tree[0] == "leaf":
-        return ("leaf", tree[1] + off)
-    return tree[:1] + tuple(
-        _shift_leaves(t, off) if isinstance(t, tuple) else t for t in tree[1:]
-    )
-
-
 def _merge(*frags):
     """Concatenate the fragments' operand lists (deduping identical
     objects) and remap each fragment's leaf indices into the merged list.

@@ -95,6 +95,24 @@ def _choose_blocks(
     return tuple(blocks)
 
 
+def choose_blocks_for(out_shape, in_dtypes, out_dtype):
+    """The block extents ``_build_call`` will choose for this signature —
+    exposed so the engine's view planner (ops/viewkernel.py) can compile
+    ViewSpecs against the real grid.  Must mirror ``_build_call``'s own
+    ``_choose_blocks`` invocation exactly (same deterministic inputs)."""
+    itemsize = max(
+        [jnp.dtype(out_dtype).itemsize]
+        + [jnp.dtype(d).itemsize for d in in_dtypes]
+    )
+    return _choose_blocks(
+        out_shape,
+        config.ew_block_rows,
+        config.ew_block_cols,
+        n_buffers=len(in_dtypes) + 1,
+        itemsize=itemsize,
+    )
+
+
 def _compiler_params(grid_len: int):
     """Mark all grid dims parallel so Mosaic may reorder/pipeline freely
     (elementwise tiles are independent).  Interpret mode ignores these."""
@@ -108,15 +126,23 @@ def _compiler_params(grid_len: int):
     )
 
 
-def _loop_kernel_body(tile_fn, refs, iterations: int, carry: int, out_dtype):
+def _loop_kernel_body(
+    tile_fn, refs, iterations: int, carry: int, out_dtype, transforms=None
+):
     """Shared kernel body: apply ``tile_fn`` once, or — the iterated form —
     ``iterations`` times with operand ``carry`` as a VMEM-resident loop
     carry (in-kernel ``fori_loop``).  The carry never round-trips HBM
     between iterations, the capability XLA's fusion loop has that a
     one-launch-per-iteration custom-call chain lacks (BENCH_r03
-    fused_pipeline 0.84x vs XLA — round-3 VERDICT item 2)."""
+    fused_pipeline 0.84x vs XLA — round-3 VERDICT item 2).
+
+    ``transforms[i]`` (view-operand plans, ops/viewkernel.py) maps operand
+    ``i``'s base-layout VMEM tile to its view-layout tile — an in-register
+    relayout, no HBM traffic."""
     out_ref = refs[-1]
     vals = [r[...] for r in refs[:-1]]
+    if transforms is not None:
+        vals = [t(v) if t is not None else v for t, v in zip(transforms, vals)]
     if iterations == 1:
         out_ref[...] = tile_fn(*vals).astype(out_ref.dtype)
         return
@@ -209,9 +235,13 @@ def _build_call(
     donate: int | None = None,
     iterations: int = 1,
     carry: int = 0,
+    plans: tuple = None,
 ):
     # tile_fn resolved by the caller and closed over via _TILE_FNS to keep the
-    # cache key hashable.
+    # cache key hashable.  ``plans[i]`` (a hashable viewkernel.ViewPlan, part
+    # of this cache key) makes operand ``i`` a view read in-kernel: its
+    # in_shapes entry is the BASE buffer shape and its BlockSpec/tile
+    # transform come from the plan.
     tile_fn = _TILE_FNS[tile_fn_id]
     nd = len(out_shape)
     itemsize = max(
@@ -222,6 +252,8 @@ def _build_call(
         budget=_ITER_VMEM_BUDGET_BYTES if iterations != 1 else None,
     )
     grid = tuple(_cdiv(out_shape[d], blocks[d]) for d in range(nd))
+    if plans is None:
+        plans = (None,) * len(in_shapes)
 
     # Pinned block indices must be int32 scalars: a Python literal 0 becomes
     # an i64 constant under jax_enable_x64, and Mosaic rejects index-map
@@ -236,8 +268,38 @@ def _build_call(
 
         return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
 
+    def plan_spec(plan):
+        entries = plan.imap
+
+        def imap(*gidx):
+            idx = []
+            for e in entries:
+                if e[0] == "g":
+                    idx.append(gidx[e[1]])
+                else:  # ("a", out_d|None, start, step)
+                    _, out_d, start, step = e
+                    if out_d is None or step == 0:
+                        idx.append(np.int32(start))
+                    else:
+                        idx.append(
+                            np.int32(start) + np.int32(step) * gidx[out_d]
+                        )
+            return tuple(idx)
+
+        return pl.BlockSpec(plan.block, imap, memory_space=pltpu.VMEM)
+
+    def plan_transform(plan):
+        vblock = plan.vblock
+        if plan.swap:
+            return lambda x: jnp.reshape(jnp.swapaxes(x, -1, -2), vblock)
+        return lambda x: jnp.reshape(x, vblock)
+
+    transforms = [plan_transform(p) if p is not None else None for p in plans]
+    if all(t is None for t in transforms):
+        transforms = None
+
     def kernel(*refs):
-        _loop_kernel_body(tile_fn, refs, iterations, carry, out_dtype)
+        _loop_kernel_body(tile_fn, refs, iterations, carry, out_dtype, transforms)
 
     aliases = {}
     if donate is not None:
@@ -257,7 +319,10 @@ def _build_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         grid=grid,
-        in_specs=[in_spec(s) for s in in_shapes],
+        in_specs=[
+            plan_spec(p) if p is not None else in_spec(s)
+            for s, p in zip(in_shapes, plans)
+        ],
         out_specs=pl.BlockSpec(blocks, lambda *g: g, memory_space=pltpu.VMEM),
         input_output_aliases=aliases,
         interpret=interpret,
@@ -303,7 +368,7 @@ def build_cache_info():
 
 def pallas_elementwise(
     tile_fn: Callable, out_shape, out_dtype, *operands, name="op", donate=None,
-    iterations=1, carry=0,
+    iterations=1, carry=0, plans=None,
 ):
     """Run ``tile_fn`` over broadcast operands with the generic kernel.
 
@@ -312,6 +377,14 @@ def pallas_elementwise(
     ``i`` (which must match the output shape/dtype exactly) dead after the
     call so the output is written in place — use inside jitted loops where
     the operand is a loop carry.
+
+    ``plans[i]`` (a ``viewkernel.ViewPlan``) makes operand ``i`` a VIEW
+    read in-kernel: the operand is the BASE buffer and the plan supplies
+    the BlockSpec index map + in-VMEM tile relayout, so the view is never
+    materialized (the reference reads strided views in its hot loop,
+    calculate.h:16-99 — this is the TPU equivalent).  Planned operands
+    require the nd>=2 block path and are incompatible with ``donate`` /
+    ``iterations``.
 
     ``iterations=L`` (with ``carry=i``) applies ``tile_fn`` L times inside
     ONE launch, feeding each tile's result back as operand ``i`` via an
@@ -322,6 +395,16 @@ def pallas_elementwise(
     """
     out_shape = tuple(int(s) for s in out_shape)
     nd = max(1, len(out_shape))
+    has_plans = plans is not None and any(p is not None for p in plans)
+    if has_plans:
+        if len(out_shape) < 2:
+            raise ValueError("view plans require a rank>=2 output")
+        if donate is not None and plans[donate] is not None:
+            raise ValueError("a planned (view) operand cannot be donated")
+        if iterations != 1 and plans[carry] is not None:
+            raise ValueError(
+                "the iterated carry operand cannot be a planned (view) operand"
+            )
     if iterations != 1:
         c_shape = tuple(int(s) for s in jnp.shape(operands[carry]))
         if c_shape != out_shape or jnp.dtype(
@@ -366,7 +449,7 @@ def pallas_elementwise(
             carry,
         )
         return call(*ops1)
-    if nd >= 2 and out_shape[-1] <= 64:
+    if nd >= 2 and out_shape[-1] <= 64 and not has_plans:
         # Tiny trailing dims (a (B, 3, 3) stack of small matrices) would pad
         # every row to 128 lanes — >=2x HBM waste, and worse, a grid step
         # per row.  When nothing broadcasts (every operand is full-shape or
@@ -389,12 +472,21 @@ def pallas_elementwise(
             )
             return jnp.reshape(out, out_shape)
 
+    if plans is None:
+        plans = (None,) * len(operands)
     padded = []
-    for o in operands:
+    for o, p in zip(operands, plans):
+        if p is not None:
+            # Planned (view) operand: the BASE buffer, untouched — the plan's
+            # BlockSpec does the indexing.
+            padded.append(o)
+            continue
         ps = _pad_shape(jnp.shape(o), nd)
         padded.append(jnp.reshape(o, ps))
     in_shapes = tuple(tuple(int(x) for x in p.shape) for p in padded)
     dispatch.record("elementwise", name)
+    if has_plans:
+        dispatch.record("elementwise_view", name)
     call = _build_call(
         name,
         _tile_fn_id(tile_fn),
@@ -409,6 +501,7 @@ def pallas_elementwise(
         donate,
         iterations,
         carry,
+        tuple(plans),
     )
     return call(*padded)
 

@@ -42,6 +42,54 @@ def _is_arraylike(x) -> bool:
     return isinstance(x, (Array, jax.Array, jax.core.Tracer)) or hasattr(x, "shape")
 
 
+def _operand_info(x):
+    """(shape, result_type_arg) WITHOUT materializing view Arrays — the
+    whole point of the view-kernel path is that ``ViewSpec.read`` (an HBM
+    relayout copy) never runs for kernel-expressible views."""
+    if isinstance(x, Array):
+        return x.shape, x.dtype
+    return jnp.shape(x), x
+
+
+def _prepare_operands(xs, out_shape, in_dtypes, out_dtype):
+    """(buffers, plans) for the Pallas path.
+
+    A view Array whose ViewSpec the BlockSpec machinery can express
+    (ops/viewkernel.py) contributes its BASE buffer plus a ViewPlan — the
+    kernel reads the view in place, like the reference's strided hot loop
+    (include/math/calculate.h:16-99).  Everything else materializes as
+    before."""
+    from . import viewkernel
+
+    blocks = None
+    bufs, plans = [], []
+    any_plan = False
+    for x in xs:
+        if isinstance(x, Array) and x.is_view:
+            if blocks is None:
+                blocks = elementwise.choose_blocks_for(
+                    out_shape, in_dtypes, out_dtype
+                )
+            plan = viewkernel.plan_view(x._spec, out_shape, blocks, x.dtype)
+            if plan is not None:
+                bufs.append(x._storage.buf)
+                plans.append(plan)
+                any_plan = True
+                continue
+        bufs.append(jnp.asarray(as_jax(x)))
+        plans.append(None)
+    return bufs, (tuple(plans) if any_plan else None)
+
+
+def _view_bypass(*xs) -> bool:
+    """Whether an op should skip the deferred-eager queue because a view
+    operand could be read in-kernel (the queue's recording step would
+    materialize it, ops/lazy.py::_as_operand)."""
+    from . import viewkernel
+
+    return any(viewkernel.expressible_hint(x) for x in xs)
+
+
 def _use_pallas(op, out_shape, in_dtypes, out_dtype) -> bool:
     if not op.pallas_ok:
         return False
@@ -57,7 +105,7 @@ def binary(name: str, a: Any, b: Any) -> Array:
     if fusion.is_fused(a) or fusion.is_fused(b):
         return fusion.binary_node(name, a, b)
     dispatch.record("engine", name)
-    if registry.get_op(name).pallas_ok:
+    if registry.get_op(name).pallas_ok and not _view_bypass(a, b):
         out = lazy.defer_binary(name, a, b)
         if out is not None:
             return out
@@ -68,24 +116,27 @@ def binary_eager(name: str, a: Any, b: Any) -> Array:
     """The non-deferring compute path (also the lazy queue's single-op
     flush; ``binary`` records the engine dispatch before deferring)."""
     op = registry.get_op(name)
-    av, bv = as_jax(a), as_jax(b)
-    a_shape = jnp.shape(av)
-    b_shape = jnp.shape(bv)
+    a_shape, a_rt = _operand_info(a)
+    b_shape, b_rt = _operand_info(b)
     br = broadcast_shapes(a_shape, b_shape)  # raises ValueError on mismatch
     out = None
-    if _is_arraylike(av) and _is_arraylike(bv):
-        out_dtype = jnp.result_type(av, bv)
-        if _use_pallas(op, br.result_shape, (jnp.asarray(av).dtype, jnp.asarray(bv).dtype), out_dtype):
+    if _is_arraylike(a) and _is_arraylike(b):
+        out_dtype = jnp.result_type(a_rt, b_rt)
+        in_dtypes = (jnp.result_type(a_rt), jnp.result_type(b_rt))
+        if _use_pallas(op, br.result_shape, in_dtypes, out_dtype):
+            bufs, plans = _prepare_operands(
+                (a, b), br.result_shape, in_dtypes, out_dtype
+            )
             out = elementwise.pallas_elementwise(
                 op.tile(),
                 br.result_shape,
                 out_dtype,
-                jnp.asarray(av),
-                jnp.asarray(bv),
+                *bufs,
                 name=name,
+                plans=plans,
             )
     if out is None:
-        out = op.fn(av, bv)
+        out = op.fn(as_jax(a), as_jax(b))
     return Array(out)
 
 
@@ -95,7 +146,7 @@ def unary(name: str, a: Any) -> Array:
     if fusion.is_fused(a):
         return fusion.unary_node(name, a)
     dispatch.record("engine", name)
-    if registry.get_op(name).pallas_ok:
+    if registry.get_op(name).pallas_ok and not _view_bypass(a):
         out = lazy.defer_unary(name, a)
         if out is not None:
             return out
@@ -105,15 +156,15 @@ def unary(name: str, a: Any) -> Array:
 def unary_eager(name: str, a: Any) -> Array:
     """Non-deferring compute path (also the lazy single-op flush)."""
     op = registry.get_op(name)
-    av = as_jax(a)
-    out_dtype = jnp.result_type(av)
-    shape = jnp.shape(av)
-    if _use_pallas(op, shape, (jnp.asarray(av).dtype,), out_dtype):
+    shape, a_rt = _operand_info(a)
+    out_dtype = jnp.result_type(a_rt)
+    if _use_pallas(op, shape, (out_dtype,), out_dtype):
+        bufs, plans = _prepare_operands((a,), shape, (out_dtype,), out_dtype)
         out = elementwise.pallas_elementwise(
-            op.tile(), shape, out_dtype, jnp.asarray(av), name=name
+            op.tile(), shape, out_dtype, *bufs, name=name, plans=plans
         )
     else:
-        out = op.fn(av)
+        out = op.fn(as_jax(a))
     return Array(out)
 
 
@@ -123,7 +174,7 @@ def ternary(name: str, a: Any, b: Any, c: Any) -> Array:
     if fusion.is_fused(a) or fusion.is_fused(b) or fusion.is_fused(c):
         return fusion.ternary_node(name, a, b, c)
     dispatch.record("engine", name)
-    if registry.get_op(name).pallas_ok:
+    if registry.get_op(name).pallas_ok and not _view_bypass(a, b, c):
         out = lazy.defer_ternary(name, a, b, c)
         if out is not None:
             return out
@@ -133,32 +184,32 @@ def ternary(name: str, a: Any, b: Any, c: Any) -> Array:
 def ternary_eager(name: str, a: Any, b: Any, c: Any) -> Array:
     """Non-deferring compute path (also the lazy single-op flush)."""
     op = registry.get_op(name)
-    av, bv, cv = as_jax(a), as_jax(b), as_jax(c)
+    infos = [_operand_info(v) for v in (a, b, c)]
     br = broadcast_shapes(
-        broadcast_shapes(jnp.shape(av), jnp.shape(bv)).result_shape,
-        jnp.shape(cv),
+        broadcast_shapes(infos[0][0], infos[1][0]).result_shape,
+        infos[2][0],
     )
     out = None
-    if all(_is_arraylike(v) for v in (av, bv, cv)):
+    if all(_is_arraylike(v) for v in (a, b, c)):
+        in_dtypes = tuple(jnp.result_type(i[1]) for i in infos)
         out_dtype = jax.eval_shape(
             op.fn,
-            jnp.asarray(av), jnp.asarray(bv), jnp.asarray(cv),
+            *[jax.ShapeDtypeStruct(i[0], dt) for i, dt in zip(infos, in_dtypes)],
         ).dtype
-        if _use_pallas(
-            op,
-            br.result_shape,
-            tuple(jnp.asarray(v).dtype for v in (av, bv, cv)),
-            out_dtype,
-        ):
+        if _use_pallas(op, br.result_shape, in_dtypes, out_dtype):
+            bufs, plans = _prepare_operands(
+                (a, b, c), br.result_shape, in_dtypes, out_dtype
+            )
             out = elementwise.pallas_elementwise(
                 op.tile(),
                 br.result_shape,
                 out_dtype,
-                jnp.asarray(av), jnp.asarray(bv), jnp.asarray(cv),
+                *bufs,
                 name=name,
+                plans=plans,
             )
     if out is None:
-        out = op.fn(av, bv, cv)
+        out = op.fn(as_jax(a), as_jax(b), as_jax(c))
     return Array(out)
 
 

@@ -457,6 +457,187 @@ def bench_elementwise_pallas(n=64 * 1024 * 1024):
     }
 
 
+def bench_view_add(n=8192):
+    """View operand read INSIDE the kernel (ops/viewkernel.py) vs the
+    round-4 materialize-then-kernel path and the XLA fused transpose+add.
+
+    ``sm.add(a.T, b)`` at n x n f32: the view plan streams the base buffer
+    through a permuted BlockSpec index map with an in-VMEM tile transpose
+    (no extra HBM pass); round 4 paid ``ViewSpec.read`` — a full relayout
+    copy — first.  The reference reads transposed views in its strided hot
+    loop (include/math/calculate.h:16-99, include/SMArray.h:121-136); this
+    row shows the TPU equivalent at full streaming rate.
+
+    n must be large enough that the loop working set (3 n^2 floats)
+    exceeds VMEM: at 2048^2 the whole 48 MB loop stays VMEM-resident on a
+    v5e (128 MB) and every variant measures VMEM — not HBM — bandwidth
+    (a measured 3.1x-"roofline" artifact).  8192^2 = 805 MB of traffic
+    per iteration cannot cache."""
+    from simplemath_tpu.ops import elementwise, viewkernel
+    from simplemath_tpu.viewspec import ViewSpec
+
+    shape = (n, n)
+    decay = np.float32(0.999)
+    blocks = elementwise.choose_blocks_for(
+        shape, (jnp.float32, jnp.float32), jnp.float32
+    )
+    plan = viewkernel.plan_view(
+        ViewSpec.identity(shape).transpose(), shape, blocks, jnp.float32
+    )
+    assert plan is not None and plan.swap
+
+    def tile(x, y):
+        return x + y * decay
+
+    def build_run(L):
+        # donate=1: the loop-carry operand aliases the output — without it
+        # XLA inserts a copy-back into the carry buffer (an extra
+        # read+write per iteration, measured 691 -> 402 GB/s on the plain
+        # elementwise row).
+        def run(a, b):
+            def body(i, acc):
+                return elementwise.pallas_elementwise(
+                    tile, shape, jnp.float32, a, acc,
+                    name="bench_view_add", plans=(plan, None), donate=1,
+                )
+
+            return jax.lax.fori_loop(0, L, body, b)
+
+        return run
+
+    # Comparators must be hoist-proof: ``jnp.transpose(a)`` of a
+    # loop-INVARIANT operand gets hoisted out of the fori_loop by XLA (the
+    # loop then measures only the dense add — a measured artifact, not a
+    # comparison), so both comparators transpose the loop CARRY instead.
+    def build_run_tcopy(L):
+        # Bare XLA transpose-copy — the materialization pass the round-4
+        # path paid before its kernel (old path = this + the dense kernel).
+        def run(a, b):
+            def body(i, acc):
+                return jnp.transpose(acc)
+
+            return jax.lax.fori_loop(0, L, body, b)
+
+        return run
+
+    def build_run_dense(L):
+        # The same kernel on already-dense operands (donated carry).
+        def run(a, b):
+            def body(i, acc):
+                return elementwise.pallas_elementwise(
+                    tile, shape, jnp.float32, a, acc,
+                    name="bench_view_add_dense", donate=1,
+                )
+
+            return jax.lax.fori_loop(0, L, body, b)
+
+        return run
+
+    def build_run_xla(L):
+        # XLA's fused transpose+consumer, transpose on the carry so it
+        # cannot be hoisted.
+        def run(a, b):
+            def body(i, acc):
+                return jnp.transpose(acc) + a * decay
+
+            return jax.lax.fori_loop(0, L, body, b)
+
+        return run
+
+    def make_args(i):
+        k = jax.random.PRNGKey(i)
+        ka, kb = jax.random.split(k)
+        return (
+            jax.random.normal(ka, shape, jnp.float32),
+            jax.random.normal(kb, shape, jnp.float32),
+        )
+
+    # ~1 ms/iter at 8192^2 (805 MB HBM traffic): 48-iter difference ~50 ms.
+    l_short, l_long = (8, 56) if n >= 8192 else (16, 400)
+    t = _per_iter_time(build_run, make_args, l_short, l_long)
+    t_tcopy = _per_iter_time(build_run_tcopy, make_args, l_short, l_long)
+    t_dense = _per_iter_time(build_run_dense, make_args, l_short, l_long)
+    t_xla = _per_iter_time(build_run_xla, make_args, l_short, l_long)
+    # Round-4 cost of sm.add(a.T, b): materialize the view (XLA transpose
+    # copy), then the dense kernel — the sum of two honestly-measured
+    # pieces (a single loop doing both cannot be made hoist-proof without
+    # changing one of the dataflows).
+    t_old = t_tcopy + t_dense
+    gbps = 3 * n * n * 4 / t / 1e9
+    from simplemath_tpu.utils.profiling import hbm_bandwidth_bytes_per_s
+
+    return {
+        "time_s": t,
+        "GBps": gbps,
+        "roofline_fraction": gbps * 1e9 / hbm_bandwidth_bytes_per_s(),
+        "transpose_copy_time_s": t_tcopy,
+        "dense_kernel_time_s": t_dense,
+        "materialize_time_s": t_old,
+        "vs_materialize": t_old / t,
+        "xla_time_s": t_xla,
+        "vs_xla": t_xla / t,
+    }
+
+
+def bench_reduce_axis(n=8192):
+    """Row/column reduction kernel (ops/reduction.py::pallas_reduce_axis)
+    at (n, n) f32 -> (n,) vs XLA's native axis reduce.
+
+    The loop threads a scalar carry INTO the mapped expression (a pinned
+    (1,1) operand of the map+reduce kernel / a fused scalar in the XLA
+    comparator) through a non-factorable select, so neither engine can
+    hoist or algebraically factor the reduction out of the loop (a plain
+    ``sum(a*s)`` gets rewritten to ``s*sum(a)`` and hoisted — measured
+    1.7 TB/s artifacts)."""
+    from simplemath_tpu.ops import reduction
+
+    shape = (n, n)
+
+    def sel_tile(x, s):
+        return jnp.where(x > s, x, jnp.float32(0.0))
+
+    def mk_build(fn):
+        def build_run(L):
+            def run(a):
+                def body(i, s):
+                    out = fn(a, s)
+                    return jnp.float32(1.0) + jnp.float32(1e-30) * jnp.sum(out)
+
+                return jax.lax.fori_loop(0, L, body, jnp.float32(1.0))
+
+            return run
+
+        return build_run
+
+    def make_args(i):
+        return (jax.random.normal(jax.random.PRNGKey(i), shape, jnp.float32),)
+
+    from simplemath_tpu.utils.profiling import hbm_bandwidth_bytes_per_s
+
+    roof = hbm_bandwidth_bytes_per_s()
+    out = {}
+    for axis in (0, 1):
+        k = mk_build(
+            lambda a, s, ax=axis: reduction.pallas_map_reduce_axis(
+                sel_tile, "sum", ax, a.shape, a, jnp.reshape(s, (1, 1))
+            )
+        )
+        t = _per_iter_time(k, make_args, 8, 72)
+        x = mk_build(
+            lambda a, s, ax=axis: jnp.sum(jnp.where(a > s, a, 0.0), axis=ax)
+        )
+        t_xla = _per_iter_time(x, make_args, 8, 72)
+        gbps = n * n * 4 / t / 1e9
+        out[f"axis{axis}"] = {
+            "time_s": t,
+            "GBps": gbps,
+            "roofline_fraction": gbps * 1e9 / roof,
+            "xla_time_s": t_xla,
+            "vs_xla": t_xla / t,
+        }
+    return out
+
+
 def bench_pow(n=1000):
     """Reference BM_SMArrayPow_Large (benchmark/pow.cpp:33-49): NxN float
     pow^2 through the public ``sm.pow`` — which, like the reference's call
@@ -1034,6 +1215,10 @@ def main():
                     1 << 20 if args.quick else 64 * 1024 * 1024
                 ),
             ),
+            (
+                "view_add",
+                lambda: bench_view_add(512 if args.quick else 8192),
+            ),
             ("pow_1000", lambda: bench_pow(100 if args.quick else 1000)),
             (
                 "fused_pipeline",
@@ -1056,6 +1241,10 @@ def main():
                 lambda: bench_reduce_sum(
                     1 << 20 if args.quick else 64 * 1024 * 1024
                 ),
+            ),
+            (
+                "reduce_axis",
+                lambda: bench_reduce_axis(512 if args.quick else 8192),
             ),
             (
                 "fused_map_reduce",

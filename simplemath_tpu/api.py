@@ -150,16 +150,11 @@ def _reduce_free(name):
         from .ops import fusion
 
         if fusion.is_fused(a):
-            # A FULL reduction may be the ROOT of a fused function: the
-            # chain then executes as a single-pass map+reduce kernel
-            # (fusion.FusedReduction).  Axis/keepdims reductions still
-            # raise the standard fuse error.
-            if axis is None and not keepdims:
-                return fusion.reduce_node(name, a)
-            raise TypeError(
-                f"sm.{name} with axis/keepdims is not supported inside "
-                "sm.fuse (only full reductions fuse)"
-            )
+            # A reduction may be the ROOT of a fused function: the chain
+            # then executes as a single-pass map+reduce kernel
+            # (fusion.FusedReduction) — full reductions to a scalar, or a
+            # single-axis reduction of a 2-D expression (round 5).
+            return fusion.reduce_node(name, a, axis=axis, keepdims=keepdims)
         return getattr(asarray(a), name)(axis=axis, keepdims=keepdims)
 
     fn.__name__ = name

@@ -403,23 +403,35 @@ class Array:
 
     # --------------------------------------------------------- reductions
     def _full_reduce(self, kind: str, axis, keepdims, jnp_fn):
-        """Full float reductions route to the Pallas tiled reduction kernel
-        on TPU above the size gate (the reference's reduction IS its public
-        operator path, include/math/product.h:8-224); axis/int/f64
-        reductions take XLA's native reduce."""
+        """Float reductions route to the Pallas tiled reduction kernels on
+        TPU above the size gate (the reference's reduction IS its public
+        operator path, include/math/product.h:8-224): full (axis=None)
+        reductions through the flat/2-D accumulator kernels, single-axis
+        reductions of 2-D arrays through the row/column kernel
+        (ops/reduction.py::pallas_reduce_axis).  Everything else (int/f64,
+        axis tuples, rank>2 axis reductions) takes XLA's native reduce."""
         buf = self.jax()
-        if axis is None and not keepdims:
-            from .ops import engine, reduction
+        from .ops import engine, reduction
 
-            if (
-                jnp.issubdtype(buf.dtype, jnp.floating)
-                and buf.dtype != jnp.dtype(jnp.float64)
-                and buf.size > 0
-                and engine.pallas_wanted(buf.shape)
-            ):
-                # f32 in-kernel accumulation; result dtype matches jnp's
-                # (input dtype for float reductions).
-                return Array(reduction.pallas_reduce(buf, kind).astype(buf.dtype))
+        kernel_ok = (
+            jnp.issubdtype(buf.dtype, jnp.floating)
+            and buf.dtype != jnp.dtype(jnp.float64)
+            and buf.size > 0
+            and engine.pallas_wanted(buf.shape)
+        )
+        if axis is None and not keepdims and kernel_ok:
+            # f32 in-kernel accumulation; result dtype matches jnp's
+            # (input dtype for float reductions).
+            return Array(reduction.pallas_reduce(buf, kind).astype(buf.dtype))
+        if kernel_ok and buf.ndim == 2 and isinstance(axis, int):
+            ax = axis + 2 if axis < 0 else axis
+            if ax in (0, 1):
+                out = reduction.pallas_reduce_axis(buf, kind, ax)
+                if out is not None:
+                    out = out.astype(buf.dtype)
+                    if keepdims:
+                        out = jnp.expand_dims(out, ax)
+                    return Array(out)
         return Array(jnp_fn(buf, axis=axis, keepdims=keepdims))
 
     def sum(self, axis=None, keepdims=False) -> Union["Array", Any]:
@@ -432,20 +444,30 @@ class Array:
         return self._full_reduce("min", axis, keepdims, jnp.min)
 
     def mean(self, axis=None, keepdims=False):
-        """Full float means ride the Pallas sum kernel (sum / size); axis
-        or int/f64 means take XLA's native reduce."""
+        """Float means ride the Pallas sum kernels (sum / n): full means
+        through the flat/2-D kernels, 2-D single-axis means through the
+        row/column kernel; int/f64/rank>2-axis means take XLA's reduce."""
         buf = self.jax()
-        if axis is None and not keepdims:
-            from .ops import engine, reduction
+        from .ops import engine, reduction
 
-            if (
-                jnp.issubdtype(buf.dtype, jnp.floating)
-                and buf.dtype != jnp.dtype(jnp.float64)
-                and buf.size > 0
-                and engine.pallas_wanted(buf.shape)
-            ):
-                total = reduction.pallas_reduce(buf, "sum")
-                return Array((total / buf.size).astype(buf.dtype))
+        kernel_ok = (
+            jnp.issubdtype(buf.dtype, jnp.floating)
+            and buf.dtype != jnp.dtype(jnp.float64)
+            and buf.size > 0
+            and engine.pallas_wanted(buf.shape)
+        )
+        if axis is None and not keepdims and kernel_ok:
+            total = reduction.pallas_reduce(buf, "sum")
+            return Array((total / buf.size).astype(buf.dtype))
+        if kernel_ok and buf.ndim == 2 and isinstance(axis, int):
+            ax = axis + 2 if axis < 0 else axis
+            if ax in (0, 1):
+                out = reduction.pallas_reduce_axis(buf, "sum", ax)
+                if out is not None:
+                    out = (out / buf.shape[ax]).astype(buf.dtype)
+                    if keepdims:
+                        out = jnp.expand_dims(out, ax)
+                    return Array(out)
         return Array(jnp.mean(buf, axis=axis, keepdims=keepdims))
 
     # ------------------------------------------------------------ display

@@ -184,21 +184,25 @@ class FusedExpr:
 
 
 class FusedReduction:
-    """Root node: a FULL reduction over a fused elementwise expression.
+    """Root node: a reduction over a fused elementwise expression.
 
-    ``sm.sum/mean/max/min`` applied to a FusedExpr (axis=None) produce one
-    of these; ``sm.fuse`` materializes it as a SINGLE-PASS map+reduce
-    kernel (ops/reduction.py::pallas_map_reduce): every operand streams
-    through HBM exactly once and the mapped expression never materializes
-    — the generalization of the fused 1-D dot (product.h's loops) to any
-    expression.  Reduction results are scalars and cannot be composed
-    further inside the same fused function."""
+    ``sm.sum/mean/max/min`` applied to a FusedExpr produce one of these;
+    ``sm.fuse`` materializes it as a SINGLE-PASS map+reduce kernel: full
+    (axis=None) reductions through ``reduction.pallas_map_reduce``,
+    single-axis reductions of 2-D expressions through
+    ``reduction.pallas_map_reduce_axis`` (round-5; round 4 raised on axis
+    roots).  Either way every operand streams through HBM exactly once and
+    the mapped expression never materializes — the generalization of the
+    fused 1-D dot (product.h's loops) to any expression.  Reduction
+    results cannot be composed further inside the same fused function."""
 
-    __slots__ = ("kind", "expr")
+    __slots__ = ("kind", "expr", "axis", "keepdims")
 
-    def __init__(self, kind: str, expr: FusedExpr):
+    def __init__(self, kind: str, expr: FusedExpr, axis=None, keepdims=False):
         self.kind = kind
         self.expr = expr
+        self.axis = axis
+        self.keepdims = keepdims
 
     def _no_compose(self, *_a, **_k):
         raise TypeError(
@@ -228,7 +232,7 @@ class FusedReduction:
                 sz *= s
             return sh == tuple(shape) or sz == 1
 
-        use_kernel = (
+        kernel_ok = (
             jnp.issubdtype(dtype, jnp.floating)
             and dtype != jnp.dtype(jnp.float64)
             and n > 0
@@ -237,12 +241,34 @@ class FusedReduction:
             and elementwise.supported(
                 shape, tuple(o.dtype for o in operands), dtype
             )
-            and all(_full_or_scalar(o) for o in operands)
         )
+        jnp_fn = {"sum": jnp.sum, "max": jnp.max, "min": jnp.min}[kind]
+        if self.axis is not None:
+            ax = self.axis + len(shape) if self.axis < 0 else self.axis
+            total = None
+            if kernel_ok and len(shape) == 2 and ax in (0, 1):
+                # Partially-broadcast operands ((1, C) rows / (R, 1) cols)
+                # ride pinned blocks in the axis kernel; it returns None
+                # for anything else and XLA takes over.
+                total = reduction.pallas_map_reduce_axis(
+                    expr.fn, kind, ax, shape, *operands
+                )
+            if total is None:
+                total = jnp_fn(
+                    jnp.broadcast_to(jnp.asarray(expr.fn(*operands)), shape),
+                    axis=ax,
+                )
+            if self.kind == "mean":
+                total = total / shape[ax]
+            if jnp.issubdtype(dtype, jnp.floating):
+                total = total.astype(dtype)
+            if self.keepdims:
+                total = jnp.expand_dims(total, ax)
+            return Array(total)
+        use_kernel = kernel_ok and all(_full_or_scalar(o) for o in operands)
         if use_kernel:
             total = reduction.pallas_map_reduce(expr.fn, kind, shape, *operands)
         else:
-            jnp_fn = {"sum": jnp.sum, "max": jnp.max, "min": jnp.min}[kind]
             total = jnp_fn(jnp.broadcast_to(jnp.asarray(expr.fn(*operands)), shape))
         if self.kind == "mean":
             total = total / n
@@ -251,15 +277,33 @@ class FusedReduction:
         return Array(total)
 
 
-def reduce_node(kind: str, a) -> FusedReduction:
-    """api._reduce_free hook: full reduction of a fused expression."""
+def reduce_node(kind: str, a, axis=None, keepdims=False) -> FusedReduction:
+    """api._reduce_free hook: (full or single-axis) reduction rooting a
+    fused expression."""
     if isinstance(a, FusedReduction):
         raise TypeError(
-            "a reduction result is a scalar and cannot be reduced again "
-            "inside sm.fuse"
+            "a reduction result cannot be reduced again inside sm.fuse"
         )
     if not isinstance(a, FusedExpr):
         raise TypeError(f"sm.{kind} fused-reduction requires a fused expression")
+    if axis is not None:
+        if isinstance(axis, (tuple, list)):
+            raise TypeError(
+                f"sm.{kind} inside sm.fuse supports a single int axis, "
+                f"got {axis!r}"
+            )
+        nd = len(a.shape)
+        ax = int(axis) + nd if int(axis) < 0 else int(axis)
+        if not (0 <= ax < nd):
+            raise ValueError(
+                f"axis {axis} out of bounds for fused expression of rank {nd}"
+            )
+        return FusedReduction(kind, a, axis=ax, keepdims=keepdims)
+    if keepdims:
+        raise TypeError(
+            f"sm.{kind}(keepdims=True) without an axis is not supported "
+            "inside sm.fuse"
+        )
     return FusedReduction(kind, a)
 
 

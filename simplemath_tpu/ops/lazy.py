@@ -124,11 +124,13 @@ class LazyArray(Array):
         super().fill(value)
 
     # ------------------------------------------------------- fused reduce
-    def _lazy_reduce(self, kind: str):
-        """Full reduction of a pending chain WITHOUT flushing it: compose
-        the recorded tree and run map+reduce as ONE single-pass kernel
+    def _lazy_reduce(self, kind: str, axis=None, keepdims=False):
+        """Reduction of a pending chain WITHOUT flushing it: compose the
+        recorded tree and run map+reduce as ONE single-pass kernel
         (fusion.FusedReduction) — `sm.sum(sm.square(a - b))` through the
-        plain eager API never materializes the mapped intermediate."""
+        plain eager API never materializes the mapped intermediate.  Axis
+        reductions of 2-D chains ride the row/column map+reduce kernel
+        (round 5)."""
         from . import fusion
 
         tree, operands, shape, dtype, _ = self._pending
@@ -138,28 +140,37 @@ class LazyArray(Array):
             for o in operands
         )
         expr = _compose(tree, specs, config.transcendental_impl)
-        return fusion.FusedReduction(kind, expr).materialize(
+        return fusion.reduce_node(kind, expr, axis=axis, keepdims=keepdims
+                                  ).materialize(
             _narrow_weak_scalars(operands, dtype)
         )
 
+    def _reducible(self, axis, keepdims) -> bool:
+        if self._pending is None:
+            return False
+        if axis is None:
+            return not keepdims
+        shape = self._pending[2]
+        return isinstance(axis, int) and len(shape) == 2
+
     def sum(self, axis=None, keepdims=False):
-        if self._pending is not None and axis is None and not keepdims:
-            return self._lazy_reduce("sum")
+        if self._reducible(axis, keepdims):
+            return self._lazy_reduce("sum", axis, keepdims)
         return super().sum(axis=axis, keepdims=keepdims)
 
     def mean(self, axis=None, keepdims=False):
-        if self._pending is not None and axis is None and not keepdims:
-            return self._lazy_reduce("mean")
+        if self._reducible(axis, keepdims):
+            return self._lazy_reduce("mean", axis, keepdims)
         return super().mean(axis=axis, keepdims=keepdims)
 
     def max(self, axis=None, keepdims=False):
-        if self._pending is not None and axis is None and not keepdims:
-            return self._lazy_reduce("max")
+        if self._reducible(axis, keepdims):
+            return self._lazy_reduce("max", axis, keepdims)
         return super().max(axis=axis, keepdims=keepdims)
 
     def min(self, axis=None, keepdims=False):
-        if self._pending is not None and axis is None and not keepdims:
-            return self._lazy_reduce("min")
+        if self._reducible(axis, keepdims):
+            return self._lazy_reduce("min", axis, keepdims)
         return super().min(axis=axis, keepdims=keepdims)
 
 

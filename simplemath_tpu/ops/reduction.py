@@ -160,7 +160,7 @@ def _build_reduce_2d(kind, r, c, br, in_dtype, interpret):
     )
 
 
-def _block_rows_2d(r: int, c: int, dtype, block_rows: int):
+def _block_rows_2d(r: int, c: int, dtype, block_rows: int, n_inputs: int = 1):
     """Row-block size for the 2-D reduction, or None to use the 1-D path.
 
     Mosaic requires block dims to be sublane-multiples unless they equal the
@@ -171,7 +171,7 @@ def _block_rows_2d(r: int, c: int, dtype, block_rows: int):
     rows, stream through the 1-D ravel path instead.
     """
     itemsize = jnp.dtype(dtype).itemsize
-    per_row = c * (itemsize * 2 + 4)
+    per_row = c * (itemsize * 2 * n_inputs + 4)
     br = min(block_rows, r, _VMEM_BUDGET_BYTES // max(per_row, 1))
     if br >= r:
         return r
@@ -310,20 +310,103 @@ def _build_map_reduce_1d(kind, tile_fn_id, in_shapes, in_dtypes, n, bn, interpre
     ), ragged
 
 
-def pallas_map_reduce(tile_fn, kind, out_shape, *operands):
-    """Single-pass fused map+reduce over flat data: every operand streams
-    through HBM exactly once, the mapped expression never materializes,
-    and the cross-lane reduction happens once at the end.
+@functools.lru_cache(maxsize=128)
+def _build_map_reduce_2d(kind, tile_fn_id, in_shapes, in_dtypes, r, c, br, interpret):
+    """2-D single-pass map+reduce: full-width (br, c) row blocks in the
+    data's NATIVE layout — the 2-D analog of ``_build_map_reduce_1d``.
+    2-D operands previously took the 1-D path via ``jnp.reshape(o, (-1,))``,
+    which on TPU materializes an extra HBM relayout copy per operand
+    (round-4 advisor): this builder removes that pass.  Broadcast (size-1)
+    operand dims ride pinned extent-1 blocks, so (1, c) rows and (r, 1)
+    columns fuse without materializing either."""
+    from .elementwise import _TILE_FNS
 
-    Operands must each be full-``out_shape`` or single-element (scalars /
-    all-broadcast); callers with partially-broadcast operands fall back to
-    XLA (ops/fusion.py handles the routing).
+    tile_fn = _TILE_FNS[tile_fn_id]
+    tile_reduce, combine, init = _REDUCERS[kind]
+    grid = (_cdiv(r, br),)
+    last = np.int32(grid[0] - 1)
+    ragged = r % br != 0
+
+    def kernel(*refs):
+        *in_refs, out_ref, acc_ref = refs
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            acc_ref[...] = jnp.full_like(acc_ref, init)
+
+        x = tile_fn(*[ref[...] for ref in in_refs])
+        x = jnp.broadcast_to(x, (br, c)).astype(jnp.float32)
+        if ragged:
+            row = jax.lax.broadcasted_iota(jnp.int32, (br, c), 0)
+            gid = pl.program_id(0) * np.int32(br) + row
+            x = jnp.where(gid < np.int32(r), x, jnp.float32(init))
+        acc_ref[...] = combine(acc_ref[...], x)
+
+        @pl.when(pl.program_id(0) == last)
+        def _finish():
+            out_ref[0, 0] = tile_reduce(acc_ref[...])
+
+    def in_spec(shape):
+        bshape = (1 if shape[0] == 1 else br, 1 if shape[1] == 1 else c)
+
+        def imap(i):
+            return (_Z if shape[0] == 1 else i, _Z)
+
+        return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        grid=grid,
+        in_specs=[in_spec(s) for s in in_shapes],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
+        scratch_shapes=[pltpu.VMEM((br, c), jnp.float32)],
+        compiler_params=_sequential_params(interpret),
+        interpret=interpret,
+    )
+
+
+def pallas_map_reduce(tile_fn, kind, out_shape, *operands):
+    """Single-pass fused map+reduce: every operand streams through HBM
+    exactly once in its NATIVE layout, the mapped expression never
+    materializes, and the cross-lane reduction happens once at the end.
+
+    2-D expressions take the 2-D row-block path directly (no ravel — a
+    reshape around a kernel is an HBM relayout copy on TPU; round-4
+    advisor); other ranks flatten to the 1-D path, where the single-pass
+    property holds for already-flat operands.  Operands must each be
+    broadcast-compatible ((1|R, 1|C) in 2-D, full or single-element in
+    1-D); anything else falls back to XLA (ops/fusion.py routes).
     """
     from . import dispatch
     from .elementwise import _tile_fn_id
 
     dispatch.record("reduce_fused", kind)
     n = int(math.prod(out_shape))
+    if len(out_shape) == 2 and out_shape[1] <= 65536:
+        r, c = (int(s) for s in out_shape)
+        ops2, ok = [], True
+        for o in operands:
+            sh = tuple(jnp.shape(o))
+            o2 = jnp.reshape(o, (1,) * (2 - len(sh)) + sh) if len(sh) < 2 else o
+            s2 = tuple(int(x) for x in jnp.shape(o2))
+            if len(s2) != 2 or s2[0] not in (1, r) or s2[1] not in (1, c):
+                ok = False
+                break
+            ops2.append(o2)
+        if ok:
+            widest = max(ops2, key=lambda o: jnp.dtype(o.dtype).itemsize)
+            br = _block_rows_2d(r, c, widest.dtype, 512, n_inputs=len(ops2))
+            if br is not None:
+                call = _build_map_reduce_2d(
+                    kind,
+                    _tile_fn_id(tile_fn),
+                    tuple(tuple(int(x) for x in o.shape) for o in ops2),
+                    tuple(jnp.dtype(o.dtype) for o in ops2),
+                    r, c, br,
+                    config.interpret_mode(),
+                )
+                return call(*ops2)[0, 0]
     ops_flat = [
         jnp.reshape(o, (-1,) if math.prod(jnp.shape(o)) > 1 else (1,))
         for o in operands
@@ -344,6 +427,182 @@ def pallas_map_reduce(tile_fn, kind, out_shape, *operands):
     else:
         out = call(*ops_flat)
     return out[0, 0]
+
+
+def _identity_tile(x):
+    return x
+
+
+def _axis_blocks(r: int, c: int, itemsize: int, dtype, n_inputs: int = 1):
+    """(br, bc) for the axis-reduction kernels: per-operand input blocks
+    (double-buffered) plus the f32 accumulator scratch under the VMEM
+    budget; partial blocks rounded to Mosaic granularity (sublane rows,
+    128 lanes) — ragged edges are masked in-kernel on the reduced axis and
+    by the output store on the kept axis."""
+    sub = dtypes.traits(dtype).sublanes
+    per = (2 * itemsize) * n_inputs + 4
+    br = r if r <= 512 else max(sub, (512 // sub) * sub)
+    bc = c if c <= 1024 else 1024
+    while br * bc * per > _VMEM_BUDGET_BYTES:
+        if br >= 2 * sub and br != r:
+            br = max(sub, br // 2)
+        elif bc >= 256 and bc != c:
+            bc = max(128, bc // 2)
+        else:
+            break
+    if br != r and br % sub:
+        return None
+    if bc != c and bc % 128:
+        return None
+    if br * bc * per > _VMEM_BUDGET_BYTES:
+        return None
+    return br, bc
+
+
+@functools.lru_cache(maxsize=128)
+def _build_reduce_axis(
+    kind, axis, tile_fn_id, in_shapes, in_dtypes, r, c, br, bc, interpret
+):
+    """Row/column reduction of a mapped expression — the axis analog of the
+    full-array tiled reduction (the reference's reduction engine IS its
+    flagship op, include/math/product.h:8-224; NumPy semantics add the axis
+    argument the reference never had).
+
+    Design: grid = (kept-axis blocks, reduced-axis blocks) with the
+    REDUCED axis innermost (``arbitrary``); each step combines its
+    (br, bc) mapped tile into a block-shaped f32 accumulator ELEMENTWISE
+    (one VPU op per element), and the serializing cross-lane/sublane
+    reduction over the reduced axis runs exactly once, in the final step.
+    Ragged blocks on the reduced axis are masked with the reduction
+    identity in-kernel; ragged blocks on the kept axis are in-bounds base
+    reads whose lanes the output store masks.  Broadcast (size-1) operand
+    dims ride pinned extent-1 blocks, so partially-broadcast operands of a
+    fused expression never materialize.
+
+    The output is (1, C) / (R, 1) — extent-1 trailing/leading block dims
+    are always Mosaic-legal, unlike 1-D outputs whose blocks would need
+    1024-multiple granularity — and the caller squeezes the unit dim."""
+    from .elementwise import _TILE_FNS
+
+    tile_fn = _TILE_FNS[tile_fn_id]
+    tile_reduce, combine, init = _REDUCERS[kind]
+    red_dim, keep_dim = (0, 1) if axis == 0 else (1, 0)
+    n_red, n_keep = (r, c) if axis == 0 else (c, r)
+    b_red, b_keep = (br, bc) if axis == 0 else (bc, br)
+    grid = (_cdiv(n_keep, b_keep), _cdiv(n_red, b_red))
+    last = np.int32(grid[1] - 1)
+    ragged = n_red % b_red != 0
+
+    def kernel(*refs):
+        *in_refs, out_ref, acc_ref = refs
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            acc_ref[...] = jnp.full_like(acc_ref, init)
+
+        x = tile_fn(*[ref[...] for ref in in_refs])
+        x = jnp.broadcast_to(x, (br, bc)).astype(jnp.float32)
+        if ragged:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (br, bc), red_dim)
+            gid = i * np.int32(b_red) + pos
+            x = jnp.where(gid < np.int32(n_red), x, jnp.float32(init))
+        acc_ref[...] = combine(acc_ref[...], x)
+
+        @pl.when(i == last)
+        def _finish():
+            out_ref[...] = tile_reduce(acc_ref[...], axis=red_dim, keepdims=True)
+
+    def in_spec(shape):
+        bshape = tuple(
+            1 if shape[d] == 1 else (br, bc)[d] for d in range(2)
+        )
+
+        def imap(j, i):
+            # grid index per data dim: reduced dim <- i, kept dim <- j
+            out = []
+            for d in range(2):
+                if shape[d] == 1:
+                    out.append(_Z)
+                elif d == red_dim:
+                    out.append(i)
+                else:
+                    out.append(j)
+            return tuple(out)
+
+        return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
+
+    out_shape = (1, c) if axis == 0 else (r, 1)
+    out_block = (1, bc) if axis == 0 else (br, 1)
+
+    def out_imap(j, i):
+        return (_Z, j) if axis == 0 else (j, _Z)
+
+    if interpret:
+        params = None
+    else:
+        try:
+            cp = pltpu.CompilerParams
+        except AttributeError:  # pragma: no cover - older jax
+            cp = pltpu.TPUCompilerParams
+        params = cp(dimension_semantics=("parallel", "arbitrary"))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        grid=grid,
+        in_specs=[in_spec(s) for s in in_shapes],
+        out_specs=pl.BlockSpec(out_block, out_imap, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((br, bc), jnp.float32)],
+        compiler_params=params,
+        interpret=interpret,
+    )
+
+
+def pallas_map_reduce_axis(tile_fn, kind, axis, out_shape, *operands):
+    """Axis reduction of a mapped 2-D expression in ONE pass: every operand
+    streams through HBM exactly once, the mapped expression never
+    materializes, and the output is the (R,) / (C,) f32 partial sums.
+
+    ``out_shape`` is the 2-D mapped-expression shape; ``axis`` in {0, 1}.
+    Operand shapes must be (1|R, 1|C) after 2-D padding.  Returns None when
+    no legal block config exists (caller falls back to XLA)."""
+    from . import dispatch
+    from .elementwise import _tile_fn_id
+
+    r, c = (int(s) for s in out_shape)
+    ops2 = []
+    for o in operands:
+        sh = tuple(jnp.shape(o))
+        if len(sh) > 2:
+            return None
+        o2 = jnp.reshape(o, (1,) * (2 - len(sh)) + sh) if len(sh) < 2 else o
+        s2 = tuple(int(x) for x in o2.shape)
+        if s2[0] not in (1, r) or s2[1] not in (1, c):
+            return None
+        ops2.append(o2)
+    itemsize = max(jnp.dtype(o.dtype).itemsize for o in ops2)
+    sizing = _axis_blocks(r, c, itemsize, ops2[0].dtype, n_inputs=len(ops2))
+    if sizing is None:
+        return None
+    br, bc = sizing
+    dispatch.record("reduce_axis", f"{kind}{axis}")
+    call = _build_reduce_axis(
+        kind,
+        int(axis),
+        _tile_fn_id(tile_fn),
+        tuple(tuple(int(x) for x in o.shape) for o in ops2),
+        tuple(jnp.dtype(o.dtype) for o in ops2),
+        r, c, br, bc,
+        config.interpret_mode(),
+    )
+    out = call(*ops2)
+    return out[0] if axis == 0 else out[:, 0]
+
+
+def pallas_reduce_axis(x, kind: str, axis: int):
+    """Axis reduction of a 2-D array through the tiled kernel (f32
+    accumulation); None when no legal block config exists."""
+    return pallas_map_reduce_axis(_identity_tile, kind, axis, x.shape, x)
 
 
 def pallas_dot1d(a, b):

@@ -854,6 +854,79 @@ def bench_matmul(n=2048, dtype="bfloat16"):
     }
 
 
+def bench_matmul_epilogue(n=2048, dtype="bfloat16"):
+    """Fused matmul epilogue: ``relu(x @ W + b) * s - c`` as ONE MXU kernel
+    (sm.fuse matmul root, ops/matmul.py epilogue) vs the jitted XLA
+    composite.  The epilogue applies to the f32 accumulator in VMEM during
+    the final K-step, so the (M, N) intermediate never round-trips HBM —
+    the regime where the in-house MXU kernel can win rather than trail
+    XLA's bare dot (round-4 VERDICT item 2).  Also reports the bare-matmul
+    kernel time so the epilogue's marginal cost is visible."""
+    import simplemath_tpu as sm
+
+    dt = jnp.dtype(dtype)
+    scale = np.float32(1.0 / n)
+    half = np.float32(0.5)
+
+    fused = sm.fuse(
+        lambda x, w, bias: sm.maximum(x @ w + bias, 0.0) * scale - half
+    )
+
+    def build_run(L):
+        def run(a, b, bias):
+            def body(i, acc):
+                return fused(sm.Array(acc), sm.Array(b), sm.Array(bias)).jax().astype(dt)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
+    def build_run_xla(L):
+        def run(a, b, bias):
+            def body(i, acc):
+                return (
+                    jnp.maximum(jnp.dot(acc, b) + bias, 0.0) * scale - half
+                ).astype(dt)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
+    def build_run_bare(L):
+        from simplemath_tpu.ops import matmul as mm_mod
+
+        def run(a, b, bias):
+            def body(i, acc):
+                return (mm_mod.pallas_matmul(acc, b, dt) * scale).astype(dt)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
+    def make_args(i):
+        k = jax.random.PRNGKey(i)
+        ka, kb, kc = jax.random.split(k, 3)
+        return (
+            jax.random.normal(ka, (n, n), dt),
+            jax.random.normal(kb, (n, n), dt),
+            jax.random.normal(kc, (1, n), dt),
+        )
+
+    t = _per_iter_time(build_run, make_args, 64, 960)
+    t_xla = _per_iter_time(build_run_xla, make_args, 64, 960)
+    t_bare = _per_iter_time(build_run_bare, make_args, 64, 960)
+    tflops = 2 * n**3 / t / 1e12
+    return {
+        "time_s": t,
+        "TFLOPs": tflops,
+        "bare_kernel_time_s": t_bare,
+        "epilogue_marginal_cost": t / t_bare - 1.0,
+        "xla_time_s": t_xla,
+        "xla_TFLOPs": 2 * n**3 / t_xla / 1e12,
+        "vs_xla": t_xla / t,
+    }
+
+
 def bench_bmm(B=8, n=1024, dtype="bfloat16"):
     """Batched rank-3 matmul TF/s through public ``sm.matmul``, with the
     same-session ``jnp.matmul`` comparator (routing stays measured)."""
@@ -1265,6 +1338,10 @@ def main():
             (
                 "matmul_f32",
                 lambda: bench_matmul(512 if args.quick else 2048, "float32"),
+            ),
+            (
+                "matmul_epilogue",
+                lambda: bench_matmul_epilogue(512 if args.quick else 2048),
             ),
             (
                 "bmm_bf16",

@@ -60,6 +60,11 @@ def pow(a, exponent) -> Array:
 
 
 def dot(a, b):
+    from .ops import fusion
+
+    if fusion.is_fused(a) or fusion.is_fused(b):
+        # Fused 2-D dot == the fused-matmul epilogue root.
+        return fusion.matmul_node(a, b)
     return engine.dot(a, b)
 
 
@@ -231,7 +236,13 @@ def minimum(a, b) -> Array:
 
 def matmul(a, b) -> Array:
     """``numpy.matmul`` semantics; large float (batched) matrix products
-    route to the Pallas MXU kernels (ops/matmul.py)."""
+    route to the Pallas MXU kernels (ops/matmul.py).  Inside ``sm.fuse``,
+    a 2-D matmul of direct arguments becomes an MXU root whose elementwise
+    consumers run as the kernel's fused epilogue."""
+    from .ops import fusion
+
+    if fusion.is_fused(a) or fusion.is_fused(b):
+        return fusion.matmul_node(a, b)
     return engine.matmul(a, b)
 
 

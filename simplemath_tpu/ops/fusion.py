@@ -62,14 +62,31 @@ class FusedExpr:
     ``fn(*all_operands)`` computes this node's value from the fused
     function's input arrays (or their VMEM tiles, inside the kernel); all
     nodes of one trace share the same operand signature ``specs``.
-    """
 
-    __slots__ = ("fn", "specs", "_aval")
+    ``leaf`` is the operand index for direct-argument leaves (None for
+    composed nodes), ``used`` the set of leaf indices this node reads
+    elementwise, and ``mm`` the (a_leaf, b_leaf) pair when the expression
+    contains a matmul root (at most one per fused function) — in that case
+    every node ``fn`` takes one extra trailing argument, the matmul
+    product (the f32 accumulator tile inside the kernel)."""
 
-    def __init__(self, fn: Callable, specs: Tuple[jax.ShapeDtypeStruct, ...]):
+    __slots__ = ("fn", "specs", "_aval", "leaf", "used", "mm", "_epi")
+
+    def __init__(
+        self,
+        fn: Callable,
+        specs: Tuple[jax.ShapeDtypeStruct, ...],
+        leaf: int = None,
+        used: frozenset = frozenset(),
+        mm: tuple = None,
+    ):
         self.fn = fn
         self.specs = specs
         self._aval = None
+        self.leaf = leaf
+        self.used = used
+        self.mm = mm
+        self._epi = None
 
     @property
     def aval(self) -> jax.ShapeDtypeStruct:
@@ -118,6 +135,12 @@ class FusedExpr:
 
     def __pow__(self, o):
         return pow_node(self, o)
+
+    def __matmul__(self, o):
+        return matmul_node(self, o)
+
+    def __rmatmul__(self, o):
+        return matmul_node(o, self)
 
     def __neg__(self):
         return unary_node("negative", self)
@@ -181,6 +204,81 @@ class FusedExpr:
                 )
             )
         return Array(jnp.asarray(self.fn(*operands)).astype(out_dtype))
+
+    # --------------------------------------------------- matmul epilogue
+    def materialize_matmul(self, operands) -> Array:
+        """Materialize a matmul-rooted expression: ONE MXU kernel whose
+        final K-step applies the traced elementwise epilogue to the f32
+        accumulator (ops/matmul.py).  Falls back to jnp matmul + the
+        epilogue expression (XLA fuses them under jit) below the kernel
+        size gate, for unsupported dtypes/extras, or off-TPU under
+        "auto"."""
+        import jax as _jax
+
+        from . import engine
+        from . import matmul as mm_mod
+        from .. import dtypes as _dtypes
+
+        a_i, b_i = self.mm
+        if a_i in self.used or b_i in self.used:
+            raise TypeError(
+                "the matmul operands cannot also be used elementwise in "
+                "the fused epilogue (their kernel tiles have contraction "
+                "shapes); pass a separate argument"
+            )
+        A = jnp.asarray(operands[a_i])
+        B = jnp.asarray(operands[b_i])
+        out_shape = self.shape
+        out_dtype = self.dtype
+        M, N = out_shape
+        others = [i for i in range(len(operands)) if i not in (a_i, b_i)]
+        mm_dtype = jnp.result_type(A, B)
+
+        def extra_ok(o):
+            sh = tuple(jnp.shape(o))
+            if len(sh) > 2:
+                return False
+            sh2 = (1,) * (2 - len(sh)) + sh
+            return sh2[0] in (1, M) and sh2[1] in (1, N)
+
+        backend = config.kernel_backend
+        use_kernel = (
+            backend != "xla"
+            and (backend == "pallas" or _jax.default_backend() == "tpu")
+            and mm_mod.supported(A.shape, B.shape, mm_dtype)
+            and jnp.dtype(out_dtype)
+            in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+            and all(extra_ok(operands[i]) for i in others)
+            and all(
+                jnp.dtype(jnp.result_type(operands[i]))
+                in _dtypes.PALLAS_NATIVE_DTYPES
+                for i in others
+            )
+        )
+        if use_kernel:
+            if self._epi is None:
+                n_ops = len(operands)
+                fn = self.fn
+                oth = tuple(others)
+
+                def epi(prod, *vals):
+                    args = [None] * n_ops
+                    for i, v in zip(oth, vals):
+                        args[i] = v
+                    return fn(*args, prod)
+
+                self._epi = epi
+            out = mm_mod.pallas_matmul(
+                A,
+                B,
+                out_dtype,
+                epilogue=self._epi,
+                extras=[jnp.asarray(operands[i]) for i in others],
+            )
+            return Array(out)
+        preferred, prec = engine._fallback_precision(A.shape, B.shape, mm_dtype)
+        prod = jnp.matmul(A, B, preferred_element_type=preferred, precision=prec)
+        return Array(jnp.asarray(self.fn(*operands, prod)).astype(out_dtype))
 
 
 class FusedReduction:
@@ -344,13 +442,36 @@ def _lift(x, specs) -> FusedExpr:
     )
 
 
+def _merge_meta(*xs):
+    """(specs, used, mm) merged over the FusedExpr children of a node:
+    union of elementwise-used leaves, the unique matmul root (at most one
+    per fused function), and the longest specs (matmul-descendant nodes
+    carry one extra trailing spec — the product)."""
+    used = frozenset()
+    mm = None
+    specs = None
+    for x in xs:
+        if isinstance(x, FusedExpr):
+            used |= x.used
+            if x.mm is not None:
+                if mm is not None and mm != x.mm:
+                    raise TypeError(
+                        "sm.fuse supports at most one matmul per fused "
+                        "function"
+                    )
+                mm = x.mm
+            if specs is None or len(x.specs) > len(specs):
+                specs = x.specs
+    return specs, used, mm
+
+
 def binary_node(name: str, a, b) -> FusedExpr:
     from . import registry
 
     _reject_reduction(a, b)
     if name == "pow":
         return pow_node(a, b)
-    specs = (a if isinstance(a, FusedExpr) else b).specs
+    specs, used, mm = _merge_meta(a, b)
     a = _lift(a, specs)
     b = _lift(b, specs)
     tile = registry.get_op(name).tile()
@@ -359,7 +480,7 @@ def binary_node(name: str, a, b) -> FusedExpr:
     def fn(*args):
         return tile(fa(*args), fb(*args))
 
-    return FusedExpr(fn, specs)
+    return FusedExpr(fn, specs, used=used, mm=mm)
 
 
 # f64 nodes fall back to the jnp op — the tile implementations are
@@ -404,7 +525,7 @@ def unary_node(name: str, a: FusedExpr) -> FusedExpr:
     def fn(*args):
         return tile(fa(*args))
 
-    return FusedExpr(fn, a.specs)
+    return FusedExpr(fn, a.specs, used=a.used, mm=a.mm)
 
 
 def pow_node(a, b) -> FusedExpr:
@@ -415,7 +536,7 @@ def pow_node(a, b) -> FusedExpr:
     from . import engine, transcendental
 
     _reject_reduction(a, b)
-    specs = (a if isinstance(a, FusedExpr) else b).specs
+    specs, used, mm = _merge_meta(a, b)
     a = _lift(a, specs)
     a_float = jnp.issubdtype(a.dtype, jnp.floating)
     if (
@@ -431,7 +552,7 @@ def pow_node(a, b) -> FusedExpr:
         def fn(*args):
             return engine._static_int_pow(fa(*args), e)
 
-        return FusedExpr(fn, specs)
+        return FusedExpr(fn, specs, used=used, mm=mm)
     b = _lift(b, specs)
     if jnp.issubdtype(a.dtype, jnp.integer) and jnp.issubdtype(b.dtype, jnp.integer):
         fa, fb = a.fn, b.fn
@@ -439,7 +560,7 @@ def pow_node(a, b) -> FusedExpr:
         def fn(*args):
             return transcendental.ipow_tile(fa(*args), fb(*args))
 
-        return FusedExpr(fn, specs)
+        return FusedExpr(fn, specs, used=used, mm=mm)
     out_dt = jnp.promote_types(a.dtype, b.dtype)
     if not jnp.issubdtype(out_dt, jnp.floating):
         out_dt = jnp.dtype(jnp.float32)
@@ -449,7 +570,7 @@ def pow_node(a, b) -> FusedExpr:
         def fn(*args):
             return jnp.power(fa(*args), fb(*args))
 
-        return FusedExpr(fn, specs)
+        return FusedExpr(fn, specs, used=used, mm=mm)
     fa, fb = a.fn, b.fn
     tile = transcendental._pow_tile(
         jnp.dtype(out_dt).name, config.transcendental_impl
@@ -458,14 +579,14 @@ def pow_node(a, b) -> FusedExpr:
     def fn(*args):
         return tile(fa(*args), fb(*args))
 
-    return FusedExpr(fn, specs)
+    return FusedExpr(fn, specs, used=used, mm=mm)
 
 
 def ternary_node(name: str, a, b, c) -> FusedExpr:
     from . import registry
 
     _reject_reduction(a, b, c)
-    specs = next(x for x in (a, b, c) if isinstance(x, FusedExpr)).specs
+    specs, used, mm = _merge_meta(a, b, c)
     a = _lift(a, specs)
     b = _lift(b, specs)
     c = _lift(c, specs)
@@ -475,7 +596,49 @@ def ternary_node(name: str, a, b, c) -> FusedExpr:
     def fn(*args):
         return tile(fa(*args), fb(*args), fc(*args))
 
-    return FusedExpr(fn, specs)
+    return FusedExpr(fn, specs, used=used, mm=mm)
+
+
+def matmul_node(a, b) -> FusedExpr:
+    """``x @ W`` inside a fused function: an MXU matmul ROOT whose
+    elementwise consumers become the kernel's fused epilogue (applied to
+    the f32 accumulator tile in the final K-step — the (M, N) product
+    never round-trips HBM).  Reference analog: the per-op extension story
+    (README.md:86-133) composed with the reduction engine (product.h).
+
+    Both operands must be DIRECT arguments of the fused function (the MXU
+    grid reads their (bm, bk)/(bk, bn) tiles; a composed expression would
+    need its own materialization), and at most one matmul per fused
+    function.  The matmul operands cannot also be used elementwise in the
+    epilogue (their kernel tiles have contraction-tile shapes)."""
+    _reject_reduction(a, b)
+    if not (
+        isinstance(a, FusedExpr)
+        and isinstance(b, FusedExpr)
+        and a.leaf is not None
+        and b.leaf is not None
+    ):
+        raise TypeError(
+            "matmul inside sm.fuse requires direct arguments of the fused "
+            "function (not composed expressions)"
+        )
+    if a.mm is not None or b.mm is not None:
+        raise TypeError(
+            "sm.fuse supports at most one matmul per fused function"
+        )
+    if len(a.shape) != 2 or len(b.shape) != 2 or a.shape[1] != b.shape[0]:
+        raise TypeError(
+            f"fused matmul requires 2-D (M,K) @ (K,N) arguments; got "
+            f"{a.shape} @ {b.shape}"
+        )
+    out_dt = jnp.result_type(a.dtype, b.dtype)
+    prod_spec = jax.ShapeDtypeStruct((a.shape[0], b.shape[1]), out_dt)
+    specs = a.specs + (prod_spec,)
+
+    def fn(*args):
+        return args[-1]
+
+    return FusedExpr(fn, specs, used=frozenset(), mm=(a.leaf, b.leaf))
 
 
 def apply_by_name(name: str, *args) -> FusedExpr:
@@ -541,7 +704,10 @@ def fuse(
                 )
                 for o in ops
             )
-            leaves = [FusedExpr(_leaf_fn(i), specs) for i in range(len(ops))]
+            leaves = [
+                FusedExpr(_leaf_fn(i), specs, leaf=i, used=frozenset((i,)))
+                for i in range(len(ops))
+            ]
             expr = fn(*leaves)
             if not isinstance(expr, (FusedExpr, FusedReduction)):
                 raise TypeError(
@@ -554,8 +720,18 @@ def fuse(
                         "sm.fuse(iterations=...) does not compose with a "
                         "reduction root (the result is a scalar)"
                     )
+                if expr.expr.mm is not None:
+                    raise TypeError(
+                        "a reduction over a fused matmul epilogue is not "
+                        "supported; materialize the epilogue first"
+                    )
                 expr.expr.aval  # force shape/dtype inference at trace time
             else:
+                if expr.mm is not None and iterations != 1:
+                    raise ValueError(
+                        "sm.fuse(iterations=...) does not compose with a "
+                        "matmul root"
+                    )
                 expr.aval  # force shape/dtype inference at trace time
             if iterations != 1 and (
                 expr.shape != tuple(ops[carry].shape)
@@ -570,6 +746,8 @@ def fuse(
             cache[key] = expr
         if isinstance(expr, FusedReduction):
             return expr.materialize(ops)
+        if expr.mm is not None:
+            return expr.materialize_matmul(ops)
         return expr.materialize(
             ops, donate=donate, iterations=iterations, carry=carry
         )

@@ -47,8 +47,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _matmul_kernel(
-    a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool, highest: bool
+    *refs, k_steps: int, trunc: bool, highest: bool, epi_fn=None
 ):
+    a_ref, b_ref, *extra_refs, out_ref, acc_ref = refs
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -70,7 +72,14 @@ def _matmul_kernel(
 
     @pl.when(pl.program_id(2) == k_steps - 1)
     def _store():
-        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+        acc = acc_ref[...]
+        if epi_fn is not None:
+            # Fused epilogue: the elementwise tail is applied to the f32
+            # accumulator IN VMEM during the final K-step — the (M, N)
+            # intermediate never round-trips HBM (the extension story the
+            # reference runs per-op, README.md:86-133 + product.h).
+            acc = epi_fn(acc, *[e[...] for e in extra_refs])
+        out_ref[...] = acc.astype(out_ref.dtype)
 
 
 def _bmm_kernel(
@@ -97,6 +106,11 @@ def _bmm_kernel(
         out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
+import numpy as _np
+
+_Z = _np.int32(0)
+
+
 @functools.lru_cache(maxsize=128)
 def _build_matmul(
     M: int,
@@ -111,11 +125,36 @@ def _build_matmul(
     interpret: bool,
     trunc: bool,
     highest: bool,
+    epi_id: int = None,
+    extra_shapes: tuple = (),
+    extra_dtypes: tuple = (),
 ):
     k_steps = _cdiv(K, bk)
     grid = (_cdiv(M, bm), _cdiv(N, bn), k_steps)
+    epi_fn = None
+    if epi_id is not None:
+        from .elementwise import _TILE_FNS
+
+        epi_fn = _TILE_FNS[epi_id]
     kernel = functools.partial(
-        _matmul_kernel, k_steps=k_steps, trunc=trunc, highest=highest
+        _matmul_kernel, k_steps=k_steps, trunc=trunc, highest=highest,
+        epi_fn=epi_fn,
+    )
+
+    def extra_spec(shape):
+        # Epilogue operands broadcastable to (M, N): (1|M, 1|N) after 2-D
+        # padding; size-1 dims ride pinned extent-1 blocks.
+        bshape = (1 if shape[0] == 1 else bm, 1 if shape[1] == 1 else bn)
+
+        def imap(i, j, k):
+            return (_Z if shape[0] == 1 else i, _Z if shape[1] == 1 else j)
+
+        return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
+
+    extra_bytes = sum(
+        (s[0] if s[0] > 1 else 1) * (s[1] if s[1] > 1 else 1)
+        * jnp.dtype(dt).itemsize
+        for s, dt in zip(extra_shapes, extra_dtypes)
     )
     return pl.pallas_call(
         kernel,
@@ -124,7 +163,8 @@ def _build_matmul(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-        ],
+        ]
+        + [extra_spec(s) for s in extra_shapes],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
@@ -138,7 +178,8 @@ def _build_matmul(
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=(M * K + K * N) * jnp.dtype(dtype_a).itemsize
-            + M * N * jnp.dtype(out_dtype).itemsize,
+            + M * N * jnp.dtype(out_dtype).itemsize
+            + extra_bytes,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -233,14 +274,25 @@ def pallas_matmul(
     block_k=None,
     block_n=None,
     precision: str = "default",
+    epilogue=None,
+    extras=(),
 ):
     """Matmul on the MXU via Pallas; f32/bf16 inputs, rank-2 or rank-3
     (leading batch) operands.
 
     Dimensions are zero-padded up to block multiples (padding contributes
     exact zeros to the accumulation); the output is sliced back.  Default
-    block sizes are per-dtype tuned (see _DEFAULT_BLOCKS)."""
+    block sizes are per-dtype tuned (see _DEFAULT_BLOCKS).
+
+    ``epilogue`` (rank-2 only) is a STABLE tile function applied to the
+    f32 accumulator in the final K-step: ``epilogue(acc, *extra_tiles)``,
+    with each of ``extras`` broadcastable to (M, N) as (1|M, 1|N) — the
+    fused ``relu(x @ W + b)`` path where the (M, N) intermediate never
+    leaves VMEM.  The epilogue sees the f32 accumulator (more accurate
+    than applying it to a down-cast product)."""
     batched = a.ndim == 3
+    if epilogue is not None and batched:
+        raise ValueError("matmul epilogues support rank-2 operands only")
     if batched:
         B, M, K = a.shape
         B2, K2, N = b.shape
@@ -287,13 +339,42 @@ def pallas_matmul(
             jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
             bm, bk, bn, interpret, trunc, precision == "highest",
         )
+        out = call(a, b)
     else:
+        epi_id = None
+        padded_extras = []
+        if epilogue is not None:
+            from .elementwise import _tile_fn_id
+
+            epi_id = _tile_fn_id(epilogue)
+            for e in extras:
+                e = jnp.asarray(e)
+                if e.ndim < 2:
+                    e = jnp.reshape(e, (1,) * (2 - e.ndim) + e.shape)
+                es = tuple(int(x) for x in e.shape)
+                if es[0] not in (1, M) or es[1] not in (1, N):
+                    raise ValueError(
+                        f"epilogue operand shape {es} is not (1|{M}, 1|{N})"
+                    )
+                # Zero-pad full dims to block multiples; the epilogue runs
+                # on the padded garbage region too, which is sliced away.
+                pe = [
+                    (0, Mp - es[0] if es[0] == M else 0),
+                    (0, Np - es[1] if es[1] == N else 0),
+                ]
+                if any(p[1] for p in pe):
+                    e = jnp.pad(e, pe)
+                padded_extras.append(e)
+            dispatch.record("matmul", "mm_epilogue")
         call = _build_matmul(
             Mp, Kp, Np,
             jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
             bm, bk, bn, interpret, trunc, precision == "highest",
+            epi_id,
+            tuple(tuple(int(x) for x in e.shape) for e in padded_extras),
+            tuple(jnp.dtype(e.dtype) for e in padded_extras),
         )
-    out = call(a, b)
+        out = call(a, b, *padded_extras)
     if (Mp, Np) != (M, N):
         out = out[..., :M, :N]
     return out

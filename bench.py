@@ -927,6 +927,52 @@ def bench_matmul_epilogue(n=2048, dtype="bfloat16"):
     }
 
 
+def bench_int8_matmul(n=2048):
+    """s8 x s8 -> s32 on the MXU's int8 path (sm.int8_matmul): TOPS vs the
+    bf16 row's TF/s (the int8 MACs/cycle are ~2x bf16 on v5e) and vs
+    XLA's own int8 dot.  The carry re-quantizes the i32 output back to
+    int8 each iteration (the quantized-inference dataflow)."""
+    import simplemath_tpu as sm
+
+    def build_run(L):
+        def run(a, b):
+            def body(i, acc):
+                out = sm.int8_matmul(sm.Array(acc), sm.Array(b)).jax()
+                return (out >> 12).astype(jnp.int8)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
+    def build_run_xla(L):
+        def run(a, b):
+            def body(i, acc):
+                out = jnp.matmul(acc, b, preferred_element_type=jnp.int32)
+                return (out >> 12).astype(jnp.int8)
+
+            return jax.lax.fori_loop(0, L, body, a)
+
+        return run
+
+    def make_args(i):
+        k = jax.random.PRNGKey(i)
+        ka, kb = jax.random.split(k)
+        return (
+            jax.random.randint(ka, (n, n), -127, 128, jnp.int8),
+            jax.random.randint(kb, (n, n), -127, 128, jnp.int8),
+        )
+
+    t = _per_iter_time(build_run, make_args, 64, 960)
+    t_xla = _per_iter_time(build_run_xla, make_args, 64, 960)
+    tops = 2 * n**3 / t / 1e12
+    return {
+        "time_s": t,
+        "TOPS": tops,
+        "xla_TOPS": 2 * n**3 / t_xla / 1e12,
+        "vs_xla": t_xla / t,
+    }
+
+
 def bench_bmm(B=8, n=1024, dtype="bfloat16"):
     """Batched rank-3 matmul TF/s through public ``sm.matmul``, with the
     same-session ``jnp.matmul`` comparator (routing stays measured)."""
@@ -1342,6 +1388,10 @@ def main():
             (
                 "matmul_epilogue",
                 lambda: bench_matmul_epilogue(512 if args.quick else 2048),
+            ),
+            (
+                "int8_matmul",
+                lambda: bench_int8_matmul(512 if args.quick else 2048),
             ),
             (
                 "bmm_bf16",

@@ -46,8 +46,10 @@ from .api import (  # noqa: F401
     exp,
     expand_dims,
     exp2,
+    dequantize,
     full,
     fuse,
+    int8_matmul,
     log,
     log2,
     matmul,
@@ -60,6 +62,7 @@ from .api import (  # noqa: F401
     negative,
     ones,
     pow,
+    quantize,
     repeat,
     reshape,
     sign,

@@ -246,6 +246,35 @@ def matmul(a, b) -> Array:
     return engine.matmul(a, b)
 
 
+def int8_matmul(a, b) -> Array:
+    """s8 x s8 -> s32 matmul on the MXU's int8 path (~2x bf16 throughput;
+    exact i32 accumulation — the quantized analog of the reference's int32
+    SIMD dot, include/math/product.h:26-69)."""
+    from .ops import matmul as _mm
+    from .array import as_jax
+
+    return Array(_mm.int8_matmul(as_jax(a), as_jax(b)))
+
+
+def quantize(x, scale=None):
+    """Symmetric per-tensor int8 quantization: ``(q, scale)`` with
+    ``q = clip(round(x/scale), -127, 127)`` (default scale max|x|/127)."""
+    from .ops import matmul as _mm
+    from .array import as_jax
+
+    q, s = _mm.quantize_int8(as_jax(x), scale)
+    return Array(q), Array(s)
+
+
+def dequantize(q, scale) -> Array:
+    """Inverse of ``quantize``; for ``int8_matmul`` results pass
+    ``scale_a * scale_b``."""
+    from .ops import matmul as _mm
+    from .array import as_jax
+
+    return Array(_mm.dequantize_int8(as_jax(q), as_jax(scale)))
+
+
 def where(cond, x, y) -> Array:
     """Elementwise select — a registered ternary op: composes with
     sm.fuse and the deferred-eager queue like the binary arithmetic."""

@@ -364,14 +364,21 @@ def dot(a: Any, b: Any):
             av.ndim == 1
             and bv.ndim == 1
             and av.shape == bv.shape
-            and jnp.issubdtype(out_dtype, jnp.floating)
-            and out_dtype != jnp.dtype(jnp.float64)
+            and (
+                (
+                    jnp.issubdtype(out_dtype, jnp.floating)
+                    and out_dtype != jnp.dtype(jnp.float64)
+                )
+                or jnp.dtype(out_dtype)
+                in (jnp.dtype(jnp.int32), jnp.dtype(jnp.uint32))
+            )
             and pallas_wanted(av.shape)
         ):
             # Fused multiply+reduce in one HBM pass — the public analog of
-            # the reference's dot_product SIMD loops (product.h:74-116);
-            # "auto" takes it on TPU above the size gate, not only when
-            # forced (round-1 VERDICT item 3).
+            # the reference's dot_product SIMD loops (float
+            # product.h:74-116, int32 product.h:26-69 — i32 accumulation
+            # in-kernel, exact); "auto" takes it on TPU above the size
+            # gate, not only when forced (round-1 VERDICT item 3).
             return Array(reduction.pallas_dot1d(av, bv).astype(out_dtype))
     preferred, prec = _fallback_precision(av.shape, bv.shape, out_dtype)
     out = jnp.dot(av, bv, preferred_element_type=preferred, precision=prec)

@@ -209,7 +209,11 @@ def pallas_reduce(x, kind: str = "sum", block_rows: int = 512):
 @functools.lru_cache(maxsize=64)
 def _build_dot1d(n, bn, in_dtype, interpret):
     # Ragged masking via a (bn,) index operand pinned to block 0 — see the
-    # layout note in _build_reduce_1d.
+    # layout note in _build_reduce_1d.  Integer inputs accumulate in i32 —
+    # EXACT mod-2^32 semantics, the TPU analog of the reference's int32
+    # SIMD dot (include/math/product.h:26-69); floats accumulate in f32.
+    integer = jnp.issubdtype(jnp.dtype(in_dtype), jnp.integer)
+    acc_dtype = jnp.int32 if integer else jnp.float32
     grid = (_cdiv(n, bn),)
     last = np.int32(grid[0] - 1)
     ragged = n % bn != 0
@@ -224,15 +228,24 @@ def _build_dot1d(n, bn, in_dtype, interpret):
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        prod = a_ref[...].astype(jnp.float32) * b_ref[...].astype(jnp.float32)
+        prod = a_ref[...].astype(acc_dtype) * b_ref[...].astype(acc_dtype)
         if ragged:
             gid = pl.program_id(0) * np.int32(bn) + idx_ref[...]
-            prod = jnp.where(gid < np.int32(n), prod, jnp.float32(0.0))
+            prod = jnp.where(gid < np.int32(n), prod, jnp.zeros_like(prod))
         acc_ref[...] = acc_ref[...] + prod
 
         @pl.when(pl.program_id(0) == last)
         def _finish():
-            out_ref[0, 0] = jnp.sum(acc_ref[...])
+            if integer:
+                # Mosaic's integer cross-lane reduce proxy inserts an i64
+                # convert under jax_enable_x64 ("64-bit types are not
+                # supported", lowering.py:2320) no matter what
+                # dtype/promote_integers asks for, so the i32 accumulator
+                # VECTOR is the kernel output and the final (bn,)-element
+                # fold runs in XLA outside (16 KB, negligible).
+                out_ref[...] = acc_ref[...]
+            else:
+                out_ref[0, 0] = jnp.sum(acc_ref[...])
 
     spec = pl.BlockSpec((bn,), lambda i: (i,), memory_space=pltpu.VMEM)
     in_specs = [spec, spec]
@@ -240,13 +253,19 @@ def _build_dot1d(n, bn, in_dtype, interpret):
         in_specs.append(
             pl.BlockSpec((bn,), lambda i: (_Z,), memory_space=pltpu.VMEM)
         )
+    if integer:
+        out_shape = jax.ShapeDtypeStruct((bn,), acc_dtype)
+        out_spec = pl.BlockSpec((bn,), lambda i: (_Z,), memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((1, 1), acc_dtype)
+        out_spec = pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda i: (_Z, _Z), memory_space=pltpu.SMEM),
-        scratch_shapes=[pltpu.VMEM((bn,), jnp.float32)],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((bn,), acc_dtype)],
         compiler_params=_sequential_params(interpret),
         interpret=interpret,
     ), ragged
@@ -607,9 +626,10 @@ def pallas_reduce_axis(x, kind: str, axis: int):
 
 def pallas_dot1d(a, b):
     """1-D dot product fused multiply+reduce — the working TPU version of
-    the reference's ``dot_product`` SIMD loops (product.h:74-116): both
-    operands stream through HBM exactly once, the product never
-    materializes, and the cross-lane reduction happens once at the end."""
+    the reference's ``dot_product`` SIMD loops (float product.h:74-116,
+    int32 product.h:26-69): both operands stream through HBM exactly once,
+    the product never materializes, and the cross-lane reduction happens
+    once at the end.  Floats accumulate in f32; integers in i32 (exact)."""
     from . import dispatch
 
     dispatch.record("dot1d")
@@ -621,4 +641,9 @@ def pallas_dot1d(a, b):
         out = call(a, b, jnp.arange(bn, dtype=jnp.int32))
     else:
         out = call(a, b)
-    return out[0, 0].astype(jnp.promote_types(jnp.result_type(a, b), jnp.float32))
+    res = jnp.result_type(a, b)
+    if jnp.issubdtype(res, jnp.integer):
+        # Integer kernels return the i32 accumulator vector (see the
+        # Mosaic x64 note in _build_dot1d); fold it here in XLA.
+        return jnp.sum(out, promote_integers=False).astype(res)
+    return out[0, 0].astype(jnp.promote_types(res, jnp.float32))

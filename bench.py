@@ -73,6 +73,33 @@ class MeasurementError(RuntimeError):
     """A loop-differenced timing had no usable signal even after retries."""
 
 
+def _ab_median(builders, make_args, l_short, l_long, rounds=4, repeats=3):
+    """Alternated A/B: measure each named variant once per round, cycling
+    through the variants ``rounds`` times, and report per-variant
+    ``{median_s, spread, samples}`` — the methodology that settled the
+    matmul routing (tools/tune_mm2d.py).  A single measurement per variant
+    is indistinguishable from the tunnel's ±16% run-to-run jitter
+    (BASELINE.md); alternating interleaves the jitter across variants so
+    the MEDIAN ratio is trustworthy and the recorded spread bounds the
+    claim tolerance (round-4 VERDICT weak #1/#2)."""
+    times = {k: [] for k in builders}
+    for _ in range(rounds):
+        for k, build in builders.items():
+            times[k].append(
+                _per_iter_time(build, make_args, l_short, l_long, repeats=repeats)
+            )
+    out = {}
+    for k, ts in times.items():
+        srt = sorted(ts)
+        med = srt[(len(srt) - 1) // 2]
+        out[k] = {
+            "median_s": med,
+            "spread": (max(ts) - min(ts)) / med,
+            "samples": ts,
+        }
+    return out
+
+
 # Dispatch round-trips jitter by a few ms run-to-run; a long-short loop
 # difference below ~5x that jitter is indistinguishable from noise.
 _MIN_SIGNAL_S = 0.010
@@ -712,7 +739,7 @@ def bench_small_pow_batched(batch=200_000):
     }
 
 
-def bench_fused_pipeline(n=2048, l_short=16, l_long=400):
+def bench_fused_pipeline(n=2048, l_short=16, l_long=400, ab_rounds=1):
     """BASELINE.json configs[1]: fused broadcast+pow+exp elementwise
     pipeline on 2-D float arrays (benchmark_pow parity workload, extended
     with the exp stage the reference never shipped working).
@@ -786,12 +813,27 @@ def bench_fused_pipeline(n=2048, l_short=16, l_long=400):
         )
 
     dispatch.reset()
-    t_sm = _per_iter_time(build_run_iterated, make_args, l_short, l_long)
+    if ab_rounds > 1:
+        # The headline comparison (iterated kernel vs XLA's fusion loop)
+        # runs as an alternated A/B with a median + recorded spread — a
+        # single sample per variant was noise-limited at this size
+        # (round-4 committed 0.88 from one sample; round-4 VERDICT
+        # weak #1).
+        ab = _ab_median(
+            {"sm": build_run_iterated, "xla": build_run_xla},
+            make_args, l_short, l_long, rounds=ab_rounds,
+        )
+        t_sm = ab["sm"]["median_s"]
+        t_xla = ab["xla"]["median_s"]
+        ab_detail = ab
+    else:
+        t_sm = _per_iter_time(build_run_iterated, make_args, l_short, l_long)
+        t_xla = _per_iter_time(build_run_xla, make_args, l_short, l_long)
+        ab_detail = None
     one_launch = dispatch.count("elementwise", "fused") > 0
     t_fused = _per_iter_time(build_run_fused, make_args, l_short, l_long)
     t_chain = _per_iter_time(build_run_chain, make_args, l_short, l_long)
-    t_xla = _per_iter_time(build_run_xla, make_args, l_short, l_long)
-    return {
+    out = {
         "shape": list(shape),
         "time_s": t_sm,
         "ns_per_element": t_sm / (n * n) * 1e9,
@@ -801,6 +843,9 @@ def bench_fused_pipeline(n=2048, l_short=16, l_long=400):
         "one_launch_per_iter": {"time_s": t_fused, "vs_xla": t_xla / t_fused},
         "unfused": {"time_s": t_chain, "vs_xla": t_xla / t_chain},
     }
+    if ab_detail is not None:
+        out["ab"] = ab_detail
+    return out
 
 
 def bench_matmul(n=2048, dtype="bfloat16"):
@@ -1108,7 +1153,8 @@ def bench_horizon_crossover(batch=8, horizons=(1024, 4096, 16384), iters=1):
     out = {"batch": batch, "iterations": iters, "rows": []}
     for H in horizons:
         row = {"horizon": H}
-        for mode in ("sequential", "associative"):
+
+        def make_builder(mode, H=H):
             cfg = ILQRConfig(iterations=iters, backward=mode)
             us = jnp.zeros((batch, H, system.nu), jnp.float32)
 
@@ -1124,15 +1170,27 @@ def bench_horizon_crossover(batch=8, horizons=(1024, 4096, 16384), iters=1):
 
                 return run
 
-            def make_args(i):
-                return (
-                    0.2
-                    * jax.random.normal(
-                        jax.random.PRNGKey(i), (batch, system.nx), jnp.float32
-                    ),
-                )
+            return build_run
 
-            row[mode] = _per_iter_time(build_run, make_args, 1, 3, repeats=2)
+        def make_args(i):
+            return (
+                0.2
+                * jax.random.normal(
+                    jax.random.PRNGKey(i), (batch, system.nx), jnp.float32
+                ),
+            )
+
+        # Alternated A/B per horizon (round-4 VERDICT weak #2: the
+        # single-sample H=4096 row recorded a non-monotonic 0.91 once);
+        # medians + recorded spread make the crossover table a
+        # measurement, not a point sample.
+        ab = _ab_median(
+            {m: make_builder(m) for m in ("sequential", "associative")},
+            make_args, 1, 3, rounds=4, repeats=2,
+        )
+        for m in ("sequential", "associative"):
+            row[m] = ab[m]["median_s"]
+            row[f"{m}_spread"] = ab[m]["spread"]
         row["associative_speedup"] = row["sequential"] / row["associative"]
         out["rows"].append(row)
     out["max_speedup"] = max(r["associative_speedup"] for r in out["rows"])
@@ -1341,7 +1399,10 @@ def main():
             ("pow_1000", lambda: bench_pow(100 if args.quick else 1000)),
             (
                 "fused_pipeline",
-                lambda: bench_fused_pipeline(256 if args.quick else 2048),
+                lambda: bench_fused_pipeline(
+                    256 if args.quick else 2048,
+                    ab_rounds=1 if args.quick else 4,
+                ),
             ),
             (
                 "fused_pipeline_8k",

@@ -109,6 +109,35 @@ def _split_newaxes(key, ndim: int):
     return tuple(base_key), tuple(positions)
 
 
+def _is_advanced_key(key) -> bool:
+    """Whether a key uses NumPy ADVANCED indexing (integer arrays /
+    sequences or boolean masks) rather than basic ints/slices."""
+    ks = key if isinstance(key, tuple) else (key,)
+    for k in ks:
+        if isinstance(k, (list, np.ndarray, jax.Array, Array)):
+            return True
+        if isinstance(k, (bool, np.bool_)):
+            return True
+    return False
+
+
+def _advanced_key(key):
+    """Convert Array entries of an advanced key to jax arrays and bare
+    lists to numpy arrays (jax rejects non-tuple index sequences that
+    numpy merely deprecated)."""
+    ks = key if isinstance(key, tuple) else (key,)
+
+    def conv(k):
+        if isinstance(k, Array):
+            return k.jax()
+        if isinstance(k, list):
+            return np.asarray(k)
+        return k
+
+    out = tuple(conv(k) for k in ks)
+    return out if isinstance(key, tuple) else out[0]
+
+
 class Array:
     """N-dimensional array with NumPy broadcasting and aliasing views."""
 
@@ -224,6 +253,14 @@ class Array:
 
     # ----------------------------------------------------------- indexing
     def __getitem__(self, key) -> "Array":
+        if _is_advanced_key(key):
+            # NumPy advanced indexing (integer arrays / boolean masks)
+            # returns a COPY, never a view — same as NumPy.  Lowers to
+            # XLA gather on the materialized view.  Boolean-mask reads
+            # have data-dependent output shapes and therefore only work
+            # eagerly (jit requires static shapes — use jnp.where-style
+            # formulations inside jit).
+            return Array(self.jax()[_advanced_key(key)])
         key, newaxes = _split_newaxes(key, self.ndim)
         spec = self._spec.compose(_normalize_key(key, self.ndim))
         if newaxes:
@@ -236,6 +273,19 @@ class Array:
         return Array(_storage=self._storage, _spec=spec)
 
     def __setitem__(self, key, value) -> None:
+        if _is_advanced_key(key):
+            # Fancy writes lower to XLA scatter (boolean masks to select)
+            # on the view's values, then write through the ViewSpec so
+            # the update is visible to the parent and sibling views —
+            # NumPy's in-place advanced-assignment semantics.
+            if isinstance(value, Array):
+                value = value.jax()
+            cur = self._spec.read(self._storage.buf)
+            new = cur.at[_advanced_key(key)].set(
+                jnp.asarray(value, dtype=cur.dtype)
+            )
+            self._storage.buf = self._spec.write(self._storage.buf, new)
+            return
         key, newaxes = _split_newaxes(key, self.ndim)
         spec = self._spec.compose(_normalize_key(key, self.ndim))
         if isinstance(value, Array):

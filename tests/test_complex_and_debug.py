@@ -116,6 +116,44 @@ def test_complex64_gauss_split_matches_numpy(rng):
     )
 
 
+def test_complex64_dominated_component_accuracy(rng):
+    # Round-4 advisor: Gauss's im = k1 + k2 cancels two O(|ar@br|) terms,
+    # so a dominated imaginary part (|bi| << |br|) would carry ~eps*|re|
+    # absolute error.  The accuracy (below-gate/HIGHEST) regime therefore
+    # routes to the naive four-product form, which keeps the small
+    # component's RELATIVE error bounded.
+    import jax
+
+    from simplemath_tpu.ops import complexmm
+
+    ar = rng.normal(size=(32, 64)).astype(np.float32)
+    br = rng.normal(size=(64, 32)).astype(np.float32)
+    bi = (1e-6 * rng.normal(size=(64, 32))).astype(np.float32)
+    a = ar.astype(np.complex64)
+    b = (br + 1j * bi).astype(np.complex64)
+
+    want = a.astype(np.complex128) @ b.astype(np.complex128)
+    out = np.asarray(complexmm.complex_matmul(a, b))
+    # naive split: the tiny imaginary component stays relatively accurate
+    im_rel = np.abs(out.imag - want.imag).max() / np.abs(want.imag).max()
+    assert im_rel < 1e-3, im_rel
+
+    # the Gauss form itself (the above-gate speed path) measurably loses
+    # the small component — pinning the documented tradeoff
+    gauss = np.asarray(
+        complexmm._gauss(
+            complexmm._contract("mm", jax.lax.Precision.HIGHEST),
+            jnp.real(jnp.asarray(a)), jnp.imag(jnp.asarray(a)),
+            jnp.real(jnp.asarray(b)), jnp.imag(jnp.asarray(b)),
+        )
+    )
+    gauss_rel = np.abs(gauss.imag - want.imag).max() / np.abs(want.imag).max()
+    assert gauss_rel > im_rel, (gauss_rel, im_rel)
+    # and the routing contract: accuracy regime -> naive, speed -> Gauss
+    assert complexmm._split_fn(False) is complexmm._naive
+    assert complexmm._split_fn(True) is complexmm._gauss
+
+
 def test_assert_tree_finite():
     debug.assert_tree_finite({"x": jnp.ones(3)})
     with pytest.raises(FloatingPointError, match="non-finite"):

@@ -56,6 +56,36 @@ def _leaf_fn(i: int) -> Callable:
     return leaf
 
 
+class _ViewOperand:
+    """A fused-function argument that is an aliasing VIEW kept
+    unmaterialized: the base buffer plus its ViewSpec.  The kernel path
+    compiles the spec into a BlockSpec plan (ops/viewkernel.py) so the
+    view is read in-kernel; paths without plan support call ``.read()``
+    (the round-4 materializing behavior)."""
+
+    __slots__ = ("buf", "spec")
+
+    def __init__(self, buf, spec):
+        self.buf = buf
+        self.spec = spec
+
+    @property
+    def shape(self):
+        return self.spec.shape
+
+    @property
+    def dtype(self):
+        return self.buf.dtype
+
+    def read(self):
+        return self.spec.read(self.buf)
+
+
+def _concrete(o):
+    """Materialize a fused operand (views fall back to ViewSpec.read)."""
+    return o.read() if isinstance(o, _ViewOperand) else o
+
+
 class FusedExpr:
     """Symbolic node of a fused elementwise expression.
 
@@ -172,7 +202,7 @@ class FusedExpr:
 
     # ---------------------------------------------------------- materialize
     def materialize(self, operands, donate=None, iterations=1, carry=0) -> Array:
-        from . import elementwise, engine
+        from . import elementwise, engine, viewkernel
 
         out_shape = self.shape
         out_dtype = self.dtype
@@ -180,6 +210,36 @@ class FusedExpr:
         if engine.pallas_wanted(out_shape) and elementwise.supported(
             out_shape, in_dtypes, out_dtype
         ):
+            has_views = any(isinstance(o, _ViewOperand) for o in operands)
+            plans = None
+            if has_views and donate is None and iterations == 1 and len(
+                out_shape
+            ) >= 2:
+                # Compile view operands into BlockSpec plans so the fused
+                # kernel reads them in place (no materialization pass —
+                # same machinery as engine._prepare_operands).
+                blocks = elementwise.choose_blocks_for(
+                    out_shape, in_dtypes, out_dtype
+                )
+                bufs, plan_list, any_plan = [], [], False
+                for o in operands:
+                    if isinstance(o, _ViewOperand):
+                        p = viewkernel.plan_view(
+                            o.spec, out_shape, blocks, o.dtype
+                        )
+                        if p is not None:
+                            bufs.append(o.buf)
+                            plan_list.append(p)
+                            any_plan = True
+                            continue
+                        bufs.append(o.read())
+                    else:
+                        bufs.append(o)
+                    plan_list.append(None)
+                operands = bufs
+                plans = tuple(plan_list) if any_plan else None
+            elif has_views:
+                operands = [_concrete(o) for o in operands]
             return Array(
                 elementwise.pallas_elementwise(
                     self.fn,
@@ -190,8 +250,10 @@ class FusedExpr:
                     donate=donate,
                     iterations=iterations,
                     carry=carry,
+                    plans=plans,
                 )
             )
+        operands = [_concrete(o) for o in operands]
         if iterations != 1:
             def body(_, c):
                 args = list(operands)
@@ -219,6 +281,7 @@ class FusedExpr:
         from . import matmul as mm_mod
         from .. import dtypes as _dtypes
 
+        operands = [_concrete(o) for o in operands]
         a_i, b_i = self.mm
         if a_i in self.used or b_i in self.used:
             raise TypeError(
@@ -315,6 +378,7 @@ class FusedReduction:
     def materialize(self, operands) -> Array:
         from . import elementwise, engine, reduction
 
+        operands = [_concrete(o) for o in operands]
         expr = self.expr
         kind = "sum" if self.kind == "mean" else self.kind
         shape = expr.shape
@@ -684,10 +748,19 @@ def fuse(
 
     @functools.wraps(fn)
     def fused(*arrays):
-        ops = [jnp.asarray(as_jax(a)) for a in arrays]
+        ops = []
+        for a in arrays:
+            if isinstance(a, Array) and a.is_view:
+                # Views stay unmaterialized: the kernel path compiles them
+                # to BlockSpec plans (FusedExpr.materialize); other paths
+                # call .read() at the last moment.
+                ops.append(_ViewOperand(a._storage.buf, a._spec))
+            else:
+                ops.append(jnp.asarray(as_jax(a)))
         key = tuple(
             (tuple(o.shape), jnp.dtype(o.dtype).name,
-             bool(getattr(o, "weak_type", False)))
+             bool(getattr(o, "weak_type", False)),
+             o.spec if isinstance(o, _ViewOperand) else None)
             for o in ops
         ) + (config.transcendental_impl,)
         expr = cache.get(key)

@@ -232,6 +232,52 @@ class TestFallbacks:
         np.testing.assert_allclose(got, D.transpose(2, 0, 1))
 
 
+class TestFusedViewOperands:
+    """sm.fuse arguments that are views compile to kernel plans too
+    (round-5 extension of the view-kernel path into the fusion engine)."""
+
+    def test_fused_chain_on_transpose(self):
+        A = _mk((200, 300))
+        B = _mk((300, 200), seed=1)
+        f = sm.fuse(lambda x, y: sm.exp(-sm.square(x - y)) * 0.5)
+        dispatch.reset()
+        got = np.asarray(f(sm.array(A).T, sm.array(B)))
+        want = np.exp(-((A.T - B) ** 2)) * 0.5
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        assert dispatch.count("elementwise_view", "fused") == 1
+
+    def test_fused_stepped_leading_view(self):
+        D = _mk((16, 64, 128))
+        Z = np.zeros((8, 64, 128), np.float32)
+        f = sm.fuse(lambda x, y: sm.square(x + y))
+        got = np.asarray(f(sm.array(D)[::2], Z))
+        np.testing.assert_allclose(got, D[::2] ** 2, rtol=1e-6)
+
+    def test_fused_reduction_with_view_falls_back(self):
+        A = _mk((200, 300))
+        B = _mk((300, 200), seed=1)
+        g = sm.fuse(lambda x, y: sm.sum(sm.square(x - y)))
+        got = float(np.asarray(g(sm.array(A).T, sm.array(B))))
+        np.testing.assert_allclose(got, ((A.T - B) ** 2).sum(), rtol=1e-4)
+
+    def test_fused_inexpressible_view_reads(self):
+        A = _mk((64, 128))
+        f = sm.fuse(lambda x, y: x * y)
+        got = np.asarray(
+            f(sm.array(A)[:, ::2], np.full((64, 64), 2.0, np.float32))
+        )
+        np.testing.assert_allclose(got, A[:, ::2] * 2.0, rtol=1e-6)
+
+    def test_fused_view_cache_distinguishes_specs(self):
+        # Same shapes/dtypes, different view specs -> different kernels.
+        A = _mk((64, 64))
+        f = sm.fuse(lambda x: sm.square(x))
+        got_t = np.asarray(f(sm.array(A).T))
+        got_d = np.asarray(f(sm.array(A.T)))
+        np.testing.assert_allclose(got_t, got_d, rtol=1e-6)
+        np.testing.assert_allclose(got_t, A.T ** 2, rtol=1e-6)
+
+
 class TestViewFuzzOracle:
     """Randomized view chains through binary ops vs NumPy."""
 

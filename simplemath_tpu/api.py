@@ -85,10 +85,16 @@ def divide(a, b) -> Array:
 
 
 def _transcendental_unary(name: str, a) -> Array:
-    from .ops import fusion, lazy, transcendental
+    from .ops import fusion, lazy, transcendental, viewkernel
 
     if fusion.is_fused(a):
         return fusion.unary_node(name, a)
+    if isinstance(a, Array) and viewkernel.expressible_hint(a):
+        # Kernel-expressible view operand: read it in-kernel via a
+        # BlockSpec plan instead of materializing (round 5).
+        out = transcendental.unary_on_view(name, a)
+        if out is not None:
+            return Array(out)
     out = lazy.defer_trans(name, a)
     if out is not None:
         return out

@@ -412,6 +412,41 @@ def _dispatch_unary(name, impl_f32, jnp_fn, x):
     return tile(x)
 
 
+def unary_on_view(name, arr):
+    """Pallas path for a VIEW Array operand: compile the ViewSpec into a
+    BlockSpec plan so sm.exp(a.T) reads the transpose in-kernel (round 5 —
+    same machinery as engine._prepare_operands).  Returns None when the
+    gate/plan does not apply; the caller falls back to the materializing
+    dispatcher."""
+    import math as _math
+
+    from . import elementwise, engine
+
+    dtype = arr.dtype
+    if dtype == jnp.dtype(jnp.float64):
+        return None
+    out_dtype = (
+        dtype if jnp.issubdtype(dtype, jnp.floating) else jnp.dtype(jnp.float32)
+    )
+    shape = arr.shape
+    gate = config.kernel_backend == "pallas" or (
+        jax.default_backend() == "tpu"
+        and config.kernel_backend != "xla"
+        and _math.prod(shape) >= config.pallas_min_elements
+    )
+    if not (gate and elementwise.supported(shape, (dtype,), out_dtype)):
+        return None
+    bufs, plans = engine._prepare_operands((arr,), shape, (dtype,), out_dtype)
+    if plans is None:
+        return None
+    tile = _unary_tile(
+        name, jnp.dtype(out_dtype).name, config.transcendental_impl
+    )
+    return elementwise.pallas_elementwise(
+        tile, shape, out_dtype, *bufs, name=name, plans=plans
+    )
+
+
 def exp(x):
     return _dispatch_unary("exp", exp_f32, jnp.exp, x)
 

@@ -166,6 +166,16 @@ class TestViewKernelOracle:
         np.testing.assert_allclose(got, A.T ** 2, rtol=1e-6)
         assert any(k.startswith("elementwise_view") for k in dispatch.counts())
 
+    def test_transcendental_on_view(self):
+        A = np.abs(_mk((300, 200))) + 0.5
+        dispatch.reset()
+        got = np.asarray(sm.log(sm.array(A).T))
+        np.testing.assert_allclose(got, np.log(A.T), rtol=1e-5, atol=1e-6)
+        assert any(k.startswith("elementwise_view") for k in dispatch.counts())
+        got = np.asarray(sm.tanh(sm.array(A)[:200, :128]))
+        np.testing.assert_allclose(got, np.tanh(A[:200, :128]), rtol=1e-5,
+                                   atol=1e-6)
+
     def test_ternary_on_view(self):
         A = _mk((300, 200))
         a = sm.array(A)

@@ -81,6 +81,70 @@ def _prepare_operands(xs, out_shape, in_dtypes, out_dtype):
     return bufs, (tuple(plans) if any_plan else None)
 
 
+def _transpose_operand(x):
+    """(buffer, transposed) for a dot/matmul operand: a pure 2-D transpose
+    view contributes its BASE buffer with a flag — ``lax.dot_general``
+    contracts either orientation natively on the MXU, so ``a.T @ b`` costs
+    NO relayout copy (the reference's dot reads flat buffers and got
+    views wrong, SURVEY §2.4-3; XLA's dimension numbers do it right for
+    free).  Everything else materializes as before."""
+    from ..viewspec import Span
+
+    if isinstance(x, Array) and x.is_view:
+        spec = x._spec
+        if (
+            spec.ndim == 2
+            and len(spec.base_shape) == 2
+            and spec.perm == (1, 0)
+            and all(
+                isinstance(e, Span)
+                and e.start == 0
+                and e.step == 1
+                and e.length == s
+                for e, s in zip(spec.entries, spec.base_shape)
+            )
+        ):
+            return x._storage.buf, True
+    return jnp.asarray(as_jax(x)), False
+
+
+def _dot_general_2d(av, ta, bv, tb, preferred, prec):
+    """2-D contraction with per-operand transposition folded into the
+    dimension numbers (no transpose copies)."""
+    dims = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
+    return jax.lax.dot_general(
+        av, bv, dims, preferred_element_type=preferred, precision=prec
+    )
+
+
+def _dot_transposed_views(a, b):
+    """The no-copy route for 2-D contractions with transpose-view
+    operands, or None when it does not apply (non-2-D, complex-on-TPU,
+    or a forced-pallas route that wants dense kernel operands)."""
+    a_shape, a_rt = _operand_info(a)
+    b_shape, b_rt = _operand_info(b)
+    if len(a_shape) != 2 or len(b_shape) != 2:
+        return None
+    out_dtype = jnp.result_type(a_rt, b_rt)
+    if (
+        jnp.dtype(out_dtype) == jnp.dtype(jnp.complex64)
+        and jax.default_backend() == "tpu"
+    ):
+        return None
+    from . import matmul as _mm
+
+    if config.kernel_backend == "pallas" and _mm.supported(
+        a_shape, b_shape, out_dtype
+    ):
+        return None
+    av, ta = _transpose_operand(a)
+    bv, tb = _transpose_operand(b)
+    if not (ta or tb):
+        return None
+    preferred, prec = _fallback_precision(a_shape, b_shape, out_dtype)
+    return Array(_dot_general_2d(av, ta, bv, tb, preferred, prec))
+
+
 def _view_bypass(*xs) -> bool:
     """Whether an op should skip the deferred-eager queue because a view
     operand could be read in-kernel (the queue's recording step would
@@ -326,7 +390,11 @@ def dot(a: Any, b: Any):
     Follows ``numpy.dot`` semantics (1-D·1-D inner product, 2-D matmul,
     N-D contraction of last axis with second-to-last), honoring views —
     fixing the reference's flat-buffer/totalSize-of-rhs behavior
-    (SURVEY §2.4-3)."""
+    (SURVEY §2.4-3).  2-D TRANSPOSE-view operands fold into the
+    contraction's dimension numbers (``a.T @ b`` pays no relayout copy)."""
+    out = _dot_transposed_views(a, b)
+    if out is not None:
+        return out
     av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))
     out_dtype = jnp.result_type(av, bv)
     if (
@@ -413,7 +481,11 @@ def matmul(a: Any, b: Any) -> Array:
     """``numpy.matmul`` semantics (batched matrix product over leading
     dims).  Rank-3 same-batch float contractions — the solver layer's
     (B, n, m) @ (B, m, k) shape — route to the batched Pallas MXU kernel
-    on TPU; everything else lowers through ``jnp.matmul``."""
+    on TPU; 2-D transpose-view operands fold into dimension numbers
+    (no relayout copy); everything else lowers through ``jnp.matmul``."""
+    out = _dot_transposed_views(a, b)
+    if out is not None:
+        return out
     av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))
     out_dtype = jnp.result_type(av, bv)
     if (

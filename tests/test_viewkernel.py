@@ -288,6 +288,34 @@ class TestFusedViewOperands:
         np.testing.assert_allclose(got_t, A.T ** 2, rtol=1e-6)
 
 
+class TestTransposedViewDot:
+    """2-D transpose views fold into dot_general dimension numbers — the
+    MXU contracts either orientation natively, so a.T @ b costs no
+    relayout copy (engine._dot_transposed_views)."""
+
+    def test_lhs_transposed(self):
+        A, B = _mk((300, 200)), _mk((300, 256), seed=1)
+        got = np.asarray(sm.array(A).T @ sm.array(B))
+        np.testing.assert_allclose(got, A.T @ B, rtol=1e-4, atol=1e-3)
+
+    def test_rhs_transposed(self):
+        A, B = _mk((200, 300)), _mk((256, 300), seed=1)
+        got = np.asarray(sm.matmul(sm.array(A), sm.array(B).T))
+        np.testing.assert_allclose(got, A @ B.T, rtol=1e-4, atol=1e-3)
+
+    def test_both_transposed(self):
+        A, B = _mk((300, 200)), _mk((256, 300), seed=1)
+        got = np.asarray(sm.dot(sm.array(A).T, sm.array(B).T))
+        np.testing.assert_allclose(got, A.T @ B.T, rtol=1e-4, atol=1e-3)
+
+    def test_sliced_view_still_correct(self):
+        A, B = _mk((300, 200)), _mk((100, 50), seed=1)
+        got = np.asarray(sm.dot(sm.array(A)[:200, :100], sm.array(B)))
+        np.testing.assert_allclose(
+            got, A[:200, :100] @ B, rtol=1e-4, atol=1e-3
+        )
+
+
 class TestViewFuzzOracle:
     """Randomized view chains through binary ops vs NumPy."""
 

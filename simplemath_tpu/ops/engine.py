@@ -81,21 +81,23 @@ def _prepare_operands(xs, out_shape, in_dtypes, out_dtype):
     return bufs, (tuple(plans) if any_plan else None)
 
 
-def _transpose_operand(x):
-    """(buffer, transposed) for a dot/matmul operand: a pure 2-D transpose
-    view contributes its BASE buffer with a flag — ``lax.dot_general``
+def _transpose_operand(x, rank: int):
+    """(buffer, transposed) for a dot/matmul operand: a pure (batched)
+    transpose view of matching rank — 2-D ``a.T`` or rank-3 ``(0, 2, 1)``
+    — contributes its BASE buffer with a flag; ``lax.dot_general``
     contracts either orientation natively on the MXU, so ``a.T @ b`` costs
     NO relayout copy (the reference's dot reads flat buffers and got
     views wrong, SURVEY §2.4-3; XLA's dimension numbers do it right for
     free).  Everything else materializes as before."""
     from ..viewspec import Span
 
+    want_perm = (1, 0) if rank == 2 else (0, 2, 1)
     if isinstance(x, Array) and x.is_view:
         spec = x._spec
         if (
-            spec.ndim == 2
-            and len(spec.base_shape) == 2
-            and spec.perm == (1, 0)
+            spec.ndim == rank
+            and len(spec.base_shape) == rank
+            and spec.perm == want_perm
             and all(
                 isinstance(e, Span)
                 and e.start == 0
@@ -108,22 +110,29 @@ def _transpose_operand(x):
     return jnp.asarray(as_jax(x)), False
 
 
-def _dot_general_2d(av, ta, bv, tb, preferred, prec):
-    """2-D contraction with per-operand transposition folded into the
-    dimension numbers (no transpose copies)."""
-    dims = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
+def _dot_general_t(av, ta, bv, tb, preferred, prec, rank: int):
+    """(Batched) contraction with per-operand transposition folded into
+    the dimension numbers (no transpose copies)."""
+    if rank == 2:
+        dims = (((0 if ta else 1,), (1 if tb else 0,)), ((), ()))
+    else:
+        dims = (((1 if ta else 2,), (2 if tb else 1,)), ((0,), (0,)))
     return jax.lax.dot_general(
         av, bv, dims, preferred_element_type=preferred, precision=prec
     )
 
 
-def _dot_transposed_views(a, b):
-    """The no-copy route for 2-D contractions with transpose-view
-    operands, or None when it does not apply (non-2-D, complex-on-TPU,
-    or a forced-pallas route that wants dense kernel operands)."""
+def _dot_transposed_views(a, b, batched_ok: bool = False):
+    """The no-copy route for 2-D (and, from ``matmul``, batched rank-3)
+    contractions with transpose-view operands, or None when it does not
+    apply (other ranks, complex-on-TPU, or a forced-pallas route that
+    wants dense kernel operands)."""
     a_shape, a_rt = _operand_info(a)
     b_shape, b_rt = _operand_info(b)
-    if len(a_shape) != 2 or len(b_shape) != 2:
+    rank = len(a_shape)
+    if len(b_shape) != rank or rank not in ((2, 3) if batched_ok else (2,)):
+        return None
+    if rank == 3 and a_shape[0] != b_shape[0]:
         return None
     out_dtype = jnp.result_type(a_rt, b_rt)
     if (
@@ -137,12 +146,12 @@ def _dot_transposed_views(a, b):
         a_shape, b_shape, out_dtype
     ):
         return None
-    av, ta = _transpose_operand(a)
-    bv, tb = _transpose_operand(b)
+    av, ta = _transpose_operand(a, rank)
+    bv, tb = _transpose_operand(b, rank)
     if not (ta or tb):
         return None
     preferred, prec = _fallback_precision(a_shape, b_shape, out_dtype)
-    return Array(_dot_general_2d(av, ta, bv, tb, preferred, prec))
+    return Array(_dot_general_t(av, ta, bv, tb, preferred, prec, rank))
 
 
 def _view_bypass(*xs) -> bool:
@@ -481,9 +490,10 @@ def matmul(a: Any, b: Any) -> Array:
     """``numpy.matmul`` semantics (batched matrix product over leading
     dims).  Rank-3 same-batch float contractions — the solver layer's
     (B, n, m) @ (B, m, k) shape — route to the batched Pallas MXU kernel
-    on TPU; 2-D transpose-view operands fold into dimension numbers
-    (no relayout copy); everything else lowers through ``jnp.matmul``."""
-    out = _dot_transposed_views(a, b)
+    on TPU; 2-D and batched rank-3 transpose-view operands fold into
+    dimension numbers (no relayout copy); everything else lowers through
+    ``jnp.matmul``."""
+    out = _dot_transposed_views(a, b, batched_ok=True)
     if out is not None:
         return out
     av, bv = jnp.asarray(as_jax(a)), jnp.asarray(as_jax(b))

@@ -45,22 +45,47 @@ def _scalar_sync(x):
     return float(jnp.real(total))  # real() so complex operands sync too
 
 
-def _timeit(fn, make_args, warmup: int = 1, repeats: int = 4):
+# (builder, L) -> (builder_ref, jitted reduced fn).  jax.jit caches per
+# WRAPPER object, and _timeit builds a fresh wrapper per call — so repeated
+# measurements of the same variant (the alternated-A/B rounds) would pay a
+# full 30-60 s XLA recompilation per round.  Memoizing the jitted wrapper
+# makes rounds 2+ pure measurements.  The builder reference is held so its
+# id() can never be recycled onto a different function.
+_TIMEIT_MEMO: dict = {}
+import itertools as _itertools
+
+_SEEDS = _itertools.count(1)
+
+
+def _timeit(fn, make_args, warmup: int = 1, repeats: int = 4, memo_key=None):
     """Median wall time of fn(*make_args(key)) with fresh inputs per repeat.
 
     The output is reduced to a scalar ON DEVICE inside the jitted program,
     so the timed sync transfers 4 bytes but still waits for all compute."""
 
-    @jax.jit
-    def reduced(*args):
-        out = fn(*args)
-        return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
+    reduced = None
+    if memo_key is not None:
+        hit = _TIMEIT_MEMO.get(memo_key)
+        if hit is not None:
+            reduced = hit[1]
+    if reduced is None:
 
+        @jax.jit
+        def reduced(*args):
+            out = fn(*args)
+            return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out))
+
+        if memo_key is not None:
+            _TIMEIT_MEMO[memo_key] = (fn, reduced)
+
+    # Seeds are GLOBALLY monotonic, never recycled: the tunnel serves
+    # identical (executable, inputs) executions from a cache (bogus ~0 s
+    # timings), and with memoized executables a repeated seed would hit it.
     for w in range(warmup):
-        float(reduced(*make_args(10_000 + w)))
+        float(reduced(*make_args(next(_SEEDS))))
     times = []
     for i in range(repeats):
-        args = make_args(i)
+        args = make_args(next(_SEEDS))
         _scalar_sync(args)  # stage inputs before the clock starts
         t0 = time.perf_counter()
         float(reduced(*args))
@@ -116,10 +141,18 @@ def _per_iter_time(build_run, make_args, l_short, l_long, repeats=3):
     produces signal, raise ``MeasurementError`` so the row records an
     explicit failure.  Never clamp — a clamped 1e-9 "time" produced the
     garbage 1.5M-x speedup row in BENCH_r03 (round-3 VERDICT weak #1)."""
-    t_short = _timeit(jax.jit(build_run(l_short)), make_args, repeats=repeats)
+    # memo_key holds the builder OBJECT (strong ref) so a recycled id can
+    # never alias a different benchmark's function.
+    t_short = _timeit(
+        jax.jit(build_run(l_short)), make_args, repeats=repeats,
+        memo_key=(build_run, l_short),
+    )
     diff = None
     for _ in range(5):
-        t_long = _timeit(jax.jit(build_run(l_long)), make_args, repeats=repeats)
+        t_long = _timeit(
+            jax.jit(build_run(l_long)), make_args, repeats=repeats,
+            memo_key=(build_run, l_long),
+        )
         diff = t_long - t_short
         if diff >= _MIN_SIGNAL_S:
             return diff / (l_long - l_short)

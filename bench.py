@@ -1216,10 +1216,13 @@ def bench_horizon_crossover(batch=8, horizons=(1024, 4096, 16384), iters=1):
         # Alternated A/B per horizon (round-4 VERDICT weak #2: the
         # single-sample H=4096 row recorded a non-monotonic 0.91 once);
         # medians + recorded spread make the crossover table a
-        # measurement, not a point sample.
+        # measurement, not a point sample.  l_long pre-sized so the
+        # >=10 ms signal floor is met without l_long-doubling recompiles
+        # (associative per-solve ~ H * 1.5 us at batch 8).
+        l_long = 1 + max(2, int(0.012 / (H * 1.5e-6)) + 1)
         ab = _ab_median(
             {m: make_builder(m) for m in ("sequential", "associative")},
-            make_args, 1, 3, rounds=4, repeats=2,
+            make_args, 1, l_long, rounds=4, repeats=2,
         )
         for m in ("sequential", "associative"):
             row[m] = ab[m]["median_s"]

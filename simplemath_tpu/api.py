@@ -252,14 +252,21 @@ def matmul(a, b) -> Array:
     return engine.matmul(a, b)
 
 
-def int8_matmul(a, b) -> Array:
+def int8_matmul(a, b, scale=None) -> Array:
     """s8 x s8 -> s32 matmul on the MXU's int8 path (~2x bf16 throughput;
     exact i32 accumulation — the quantized analog of the reference's int32
-    SIMD dot, include/math/product.h:26-69)."""
+    SIMD dot, include/math/product.h:26-69).  ``scale`` (typically
+    ``scale_a * scale_b``) fuses dequantization into the kernel epilogue
+    and returns f32."""
     from .ops import matmul as _mm
     from .array import as_jax
 
-    return Array(_mm.int8_matmul(as_jax(a), as_jax(b)))
+    return Array(
+        _mm.int8_matmul(
+            as_jax(a), as_jax(b),
+            scale=as_jax(scale) if scale is not None else None,
+        )
+    )
 
 
 def quantize(x, scale=None):

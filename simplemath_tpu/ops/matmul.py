@@ -399,13 +399,25 @@ def pallas_matmul(
     return out
 
 
-def int8_matmul(a, b, out_dtype=jnp.int32):
+def _dequant_epi(acc, scale):
+    # STABLE module-level epilogue tile (the kernel-build cache keys on
+    # identity): i32 accumulator -> f32, scaled in VMEM at store time.
+    return acc.astype(jnp.float32) * scale
+
+
+def int8_matmul(a, b, out_dtype=jnp.int32, scale=None):
     """s8 x s8 -> s32 matmul on the MXU's int8 path (~2x bf16 MACs/cycle on
     v5e) — exact integer accumulation, the quantized-inference analog of
     the reference's int32 SIMD dot (product.h:26-69).  Rank-2 or batched
     rank-3 int8/uint8 operands; i32 accumulator and output.  Small shapes
     (below the kernel gate) and the xla backend take ``jnp.matmul`` with
-    ``preferred_element_type=int32`` (also exact)."""
+    ``preferred_element_type=int32`` (also exact).
+
+    ``scale`` (a scalar, typically ``scale_a * scale_b`` from
+    ``quantize_int8``) fuses the DEQUANTIZATION into the kernel epilogue:
+    the i32 accumulator is scaled to f32 in VMEM at store time, so the
+    f32 result costs no extra HBM pass (rank-2 kernel path; other routes
+    apply the scale in XLA, which fuses it under jit)."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     for x in (a, b):
@@ -413,7 +425,7 @@ def int8_matmul(a, b, out_dtype=jnp.int32):
             raise TypeError(
                 f"int8_matmul requires int8/uint8 operands, got {x.dtype}"
             )
-    out_dtype = jnp.dtype(out_dtype)
+    out_dtype = jnp.dtype(jnp.float32) if scale is not None else jnp.dtype(out_dtype)
     backend = config.kernel_backend
     shapes_ok = (
         a.ndim == b.ndim
@@ -429,8 +441,19 @@ def int8_matmul(a, b, out_dtype=jnp.int32):
 
         if backend == "pallas" or _jax.default_backend() == "tpu":
             dispatch.record("matmul", "int8")
-            return pallas_matmul(a, b, out_dtype)
-    return jnp.matmul(a, b, preferred_element_type=jnp.int32).astype(out_dtype)
+            if scale is not None and a.ndim == 2:
+                s = jnp.reshape(jnp.asarray(scale, jnp.float32), (1, 1))
+                return pallas_matmul(
+                    a, b, out_dtype, epilogue=_dequant_epi, extras=[s]
+                )
+            out = pallas_matmul(a, b, jnp.int32 if scale is not None else out_dtype)
+            if scale is not None:
+                out = out.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
+            return out
+    out = jnp.matmul(a, b, preferred_element_type=jnp.int32)
+    if scale is not None:
+        return out.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
+    return out.astype(out_dtype)
 
 
 def quantize_int8(x, scale=None):

@@ -124,6 +124,33 @@ class TestQuantize:
         rel = np.abs(got - want).max() / np.abs(want).max()
         assert rel < 0.02, rel
 
+    def test_fused_dequant_epilogue(self):
+        # scale= fuses the i32 -> f32 dequantization into the kernel's
+        # store step (one launch, no extra HBM pass).
+        rng = np.random.default_rng(2)
+        X = rng.standard_normal((300, 384)).astype(np.float32)
+        W = rng.standard_normal((384, 300)).astype(np.float32)
+        qx, sx = sm.quantize(X)
+        qw, sw = sm.quantize(W)
+        s = np.float32(np.asarray(sx) * np.asarray(sw))
+        dispatch.reset()
+        got = np.asarray(sm.int8_matmul(qx, qw, scale=s))
+        assert got.dtype == np.float32
+        want = (
+            np.asarray(qx).astype(np.int32) @ np.asarray(qw).astype(np.int32)
+        ).astype(np.float32) * s
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert dispatch.count("matmul", "mm_epilogue") == 1
+
+    def test_fused_dequant_small_fallback(self):
+        config.kernel_backend = "auto"
+        rng = np.random.default_rng(3)
+        A = rng.integers(-127, 128, (16, 24)).astype(np.int8)
+        B = rng.integers(-127, 128, (24, 32)).astype(np.int8)
+        got = np.asarray(sm.int8_matmul(A, B, scale=0.25))
+        want = (A.astype(np.int32) @ B.astype(np.int32)).astype(np.float32) * 0.25
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
     def test_zero_input(self):
         q, s = sm.quantize(np.zeros((8, 8), np.float32))
         assert np.all(np.asarray(q) == 0)

@@ -293,16 +293,16 @@ class FusedExpr:
         B = jnp.asarray(operands[b_i])
         out_shape = self.shape
         out_dtype = self.dtype
-        M, N = out_shape
+        nd = len(out_shape)
         others = [i for i in range(len(operands)) if i not in (a_i, b_i)]
         mm_dtype = jnp.result_type(A, B)
 
         def extra_ok(o):
             sh = tuple(jnp.shape(o))
-            if len(sh) > 2:
+            if len(sh) > nd:
                 return False
-            sh2 = (1,) * (2 - len(sh)) + sh
-            return sh2[0] in (1, M) and sh2[1] in (1, N)
+            sh2 = (1,) * (nd - len(sh)) + sh
+            return all(s in (1, f) for s, f in zip(sh2, out_shape))
 
         backend = config.kernel_backend
         use_kernel = (
@@ -690,13 +690,25 @@ def matmul_node(a, b) -> FusedExpr:
         raise TypeError(
             "sm.fuse supports at most one matmul per fused function"
         )
-    if len(a.shape) != 2 or len(b.shape) != 2 or a.shape[1] != b.shape[0]:
+    rank = len(a.shape)
+    ok = (
+        len(b.shape) == rank
+        and rank in (2, 3)
+        and a.shape[-1] == b.shape[-2]
+        and (rank == 2 or a.shape[0] == b.shape[0])
+    )
+    if not ok:
         raise TypeError(
-            f"fused matmul requires 2-D (M,K) @ (K,N) arguments; got "
-            f"{a.shape} @ {b.shape}"
+            f"fused matmul requires 2-D (M,K) @ (K,N) or batched "
+            f"(B,M,K) @ (B,K,N) arguments; got {a.shape} @ {b.shape}"
         )
     out_dt = jnp.result_type(a.dtype, b.dtype)
-    prod_spec = jax.ShapeDtypeStruct((a.shape[0], b.shape[1]), out_dt)
+    out_shape = (
+        (a.shape[0], b.shape[1])
+        if rank == 2
+        else (a.shape[0], a.shape[1], b.shape[2])
+    )
+    prod_spec = jax.ShapeDtypeStruct(out_shape, out_dt)
     specs = a.specs + (prod_spec,)
 
     def fn(*args):

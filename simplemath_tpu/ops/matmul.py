@@ -83,8 +83,10 @@ def _matmul_kernel(
 
 
 def _bmm_kernel(
-    a_ref, b_ref, out_ref, acc_ref, *, k_steps: int, trunc: bool, highest: bool
+    *refs, k_steps: int, trunc: bool, highest: bool, epi_fn=None
 ):
+    a_ref, b_ref, *extra_refs, out_ref, acc_ref = refs
+
     @pl.when(pl.program_id(3) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -103,7 +105,13 @@ def _bmm_kernel(
 
     @pl.when(pl.program_id(3) == k_steps - 1)
     def _store():
-        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+        acc = acc_ref[...]
+        if epi_fn is not None:
+            # Batched fused epilogue — extras arrive as (1, 1|bm, 1|bn)
+            # tiles; drop the unit batch dim so they broadcast against
+            # the (bm, bn) accumulator.
+            acc = epi_fn(acc, *[e[0] for e in extra_refs])
+        out_ref[0] = acc.astype(out_ref.dtype)
 
 
 import numpy as _np
@@ -212,12 +220,39 @@ def _build_bmm(
     interpret: bool,
     trunc: bool,
     highest: bool,
+    epi_id: int = None,
+    extra_shapes: tuple = (),
+    extra_dtypes: tuple = (),
 ):
     k_steps = _cdiv(K, bk)
     grid = (B, _cdiv(M, bm), _cdiv(N, bn), k_steps)
+    epi_fn = None
+    if epi_id is not None:
+        from .elementwise import _TILE_FNS
+
+        epi_fn = _TILE_FNS[epi_id]
     kernel = functools.partial(
-        _bmm_kernel, k_steps=k_steps, trunc=trunc, highest=highest
+        _bmm_kernel, k_steps=k_steps, trunc=trunc, highest=highest,
+        epi_fn=epi_fn,
     )
+
+    def extra_spec(shape):
+        # Epilogue operands broadcastable to (B, M, N) as (1|B, 1|M, 1|N).
+        bshape = (
+            1,
+            1 if shape[1] == 1 else bm,
+            1 if shape[2] == 1 else bn,
+        )
+
+        def imap(b, i, j, k):
+            return (
+                _Z if shape[0] == 1 else b,
+                _Z if shape[1] == 1 else i,
+                _Z if shape[2] == 1 else j,
+            )
+
+        return pl.BlockSpec(bshape, imap, memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, M, N), out_dtype),
@@ -229,7 +264,8 @@ def _build_bmm(
             pl.BlockSpec(
                 (1, bk, bn), lambda b, i, j, k: (b, k, j), memory_space=pltpu.VMEM
             ),
-        ],
+        ]
+        + [extra_spec(s) for s in extra_shapes],
         out_specs=pl.BlockSpec(
             (1, bm, bn), lambda b, i, j, k: (b, i, j), memory_space=pltpu.VMEM
         ),
@@ -308,8 +344,6 @@ def pallas_matmul(
     leaves VMEM.  The epilogue sees the f32 accumulator (more accurate
     than applying it to a down-cast product)."""
     batched = a.ndim == 3
-    if epilogue is not None and batched:
-        raise ValueError("matmul epilogues support rank-2 operands only")
     if batched:
         B, M, K = a.shape
         B2, K2, N = b.shape
@@ -352,48 +386,54 @@ def pallas_matmul(
     if (Kp, Np) != (K, N):
         b = jnp.pad(b, pad_b)
     dispatch.record("matmul", "bmm" if batched else "mm")
+    nd_out = 3 if batched else 2
+    epi_id = None
+    padded_extras = []
+    if epilogue is not None:
+        from .elementwise import _tile_fn_id
+
+        epi_id = _tile_fn_id(epilogue)
+        full = (B, M, N) if batched else (M, N)
+        padded_dims = (B, Mp, Np) if batched else (Mp, Np)
+        for e in extras:
+            e = jnp.asarray(e)
+            if e.ndim < nd_out:
+                e = jnp.reshape(e, (1,) * (nd_out - e.ndim) + e.shape)
+            es = tuple(int(x) for x in e.shape)
+            if any(s not in (1, f) for s, f in zip(es, full)):
+                raise ValueError(
+                    f"epilogue operand shape {es} is not broadcastable to "
+                    f"{full} as {'(1|B, 1|M, 1|N)' if batched else '(1|M, 1|N)'}"
+                )
+            # Zero-pad full dims to block multiples; the epilogue runs
+            # on the padded garbage region too, which is sliced away.
+            pe = [
+                (0, p - s if s == f and p != s else 0)
+                for s, f, p in zip(es, full, padded_dims)
+            ]
+            if any(p[1] for p in pe):
+                e = jnp.pad(e, pe)
+            padded_extras.append(e)
+        dispatch.record("matmul", "bmm_epilogue" if batched else "mm_epilogue")
+    extra_meta = (
+        tuple(tuple(int(x) for x in e.shape) for e in padded_extras),
+        tuple(jnp.dtype(e.dtype) for e in padded_extras),
+    )
     if batched:
         call = _build_bmm(
             B, Mp, Kp, Np,
             jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
             bm, bk, bn, interpret, trunc, precision == "highest",
+            epi_id, *extra_meta,
         )
-        out = call(a, b)
     else:
-        epi_id = None
-        padded_extras = []
-        if epilogue is not None:
-            from .elementwise import _tile_fn_id
-
-            epi_id = _tile_fn_id(epilogue)
-            for e in extras:
-                e = jnp.asarray(e)
-                if e.ndim < 2:
-                    e = jnp.reshape(e, (1,) * (2 - e.ndim) + e.shape)
-                es = tuple(int(x) for x in e.shape)
-                if es[0] not in (1, M) or es[1] not in (1, N):
-                    raise ValueError(
-                        f"epilogue operand shape {es} is not (1|{M}, 1|{N})"
-                    )
-                # Zero-pad full dims to block multiples; the epilogue runs
-                # on the padded garbage region too, which is sliced away.
-                pe = [
-                    (0, Mp - es[0] if es[0] == M else 0),
-                    (0, Np - es[1] if es[1] == N else 0),
-                ]
-                if any(p[1] for p in pe):
-                    e = jnp.pad(e, pe)
-                padded_extras.append(e)
-            dispatch.record("matmul", "mm_epilogue")
         call = _build_matmul(
             Mp, Kp, Np,
             jnp.dtype(a.dtype), jnp.dtype(b.dtype), jnp.dtype(out_dtype),
             bm, bk, bn, interpret, trunc, precision == "highest",
-            epi_id,
-            tuple(tuple(int(x) for x in e.shape) for e in padded_extras),
-            tuple(jnp.dtype(e.dtype) for e in padded_extras),
+            epi_id, *extra_meta,
         )
-        out = call(a, b, *padded_extras)
+    out = call(a, b, *padded_extras)
     if (Mp, Np) != (M, N):
         out = out[..., :M, :N]
     return out
@@ -441,15 +481,14 @@ def int8_matmul(a, b, out_dtype=jnp.int32, scale=None):
 
         if backend == "pallas" or _jax.default_backend() == "tpu":
             dispatch.record("matmul", "int8")
-            if scale is not None and a.ndim == 2:
-                s = jnp.reshape(jnp.asarray(scale, jnp.float32), (1, 1))
+            if scale is not None:
+                s = jnp.reshape(
+                    jnp.asarray(scale, jnp.float32), (1,) * a.ndim
+                )
                 return pallas_matmul(
                     a, b, out_dtype, epilogue=_dequant_epi, extras=[s]
                 )
-            out = pallas_matmul(a, b, jnp.int32 if scale is not None else out_dtype)
-            if scale is not None:
-                out = out.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)
-            return out
+            return pallas_matmul(a, b, out_dtype)
     out = jnp.matmul(a, b, preferred_element_type=jnp.int32)
     if scale is not None:
         return out.astype(jnp.float32) * jnp.asarray(scale, jnp.float32)

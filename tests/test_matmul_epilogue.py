@@ -148,12 +148,69 @@ class TestEpilogueErrors:
         with pytest.raises(TypeError, match="reduction over a fused matmul"):
             f(_mk((256, 256)), _mk((256, 256), 1))
 
-    def test_rank3_rejected(self):
+    def test_rank4_rejected(self):
         f = sm.fuse(lambda x, w: x @ w)
         with pytest.raises(TypeError, match="2-D"):
-            f(_mk((2, 64, 64)), _mk((2, 64, 64), 1))
+            f(_mk((2, 2, 64, 64)), _mk((2, 2, 64, 64), 1))
 
     def test_shape_mismatch_rejected(self):
         f = sm.fuse(lambda x, w: x @ w)
         with pytest.raises(TypeError, match="2-D"):
             f(_mk((64, 32)), _mk((48, 64), 1))
+
+    def test_batch_mismatch_rejected(self):
+        f = sm.fuse(lambda x, w: x @ w)
+        with pytest.raises(TypeError, match="batched"):
+            f(_mk((2, 64, 64)), _mk((3, 64, 64), 1))
+
+
+class TestBatchedEpilogue:
+    """Rank-3 fused matmul epilogues — the solver layer's (B, n, m) shape."""
+
+    def test_relu_bias_batched(self):
+        X = _mk((3, 256, 300))
+        W = _mk((3, 300, 260), 1)
+        b = _mk((1, 1, 260), 2)
+        f = sm.fuse(lambda x, w, bias: sm.maximum(x @ w + bias, 0.0))
+        dispatch.reset()
+        got = np.asarray(f(X, W, b))
+        import jax
+
+        if jax.default_backend() == "tpu":
+            import jax.numpy as jnp
+
+            Xt = np.asarray(jnp.asarray(X).astype(jnp.bfloat16), np.float32)
+            Wt = np.asarray(jnp.asarray(W).astype(jnp.bfloat16), np.float32)
+        else:
+            Xt, Wt = X, W
+        want = np.maximum(np.matmul(Xt, Wt) + b, 0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+        assert dispatch.counts().get("matmul:bmm_epilogue") == 1
+
+    def test_per_batch_scale_extra(self):
+        X = _mk((2, 256, 256))
+        W = _mk((2, 256, 256), 1)
+        s = _mk((2, 1, 1), 2)
+        f = sm.fuse(lambda x, w, sc: (x @ w) * sc)
+        got = np.asarray(f(X, W, s))
+        import jax
+
+        if jax.default_backend() == "tpu":
+            import jax.numpy as jnp
+
+            Xt = np.asarray(jnp.asarray(X).astype(jnp.bfloat16), np.float32)
+            Wt = np.asarray(jnp.asarray(W).astype(jnp.bfloat16), np.float32)
+        else:
+            Xt, Wt = X, W
+        want = np.matmul(Xt, Wt) * s
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_batched_int8_fused_dequant(self):
+        rng = np.random.default_rng(0)
+        A = rng.integers(-127, 128, (2, 256, 256)).astype(np.int8)
+        B = rng.integers(-127, 128, (2, 256, 256)).astype(np.int8)
+        got = np.asarray(sm.int8_matmul(A, B, scale=0.5))
+        want = (
+            np.matmul(A.astype(np.int32), B.astype(np.int32))
+        ).astype(np.float32) * 0.5
+        np.testing.assert_allclose(got, want, rtol=1e-6)

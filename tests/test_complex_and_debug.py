@@ -116,12 +116,24 @@ def test_complex64_gauss_split_matches_numpy(rng):
     )
 
 
+def test_complex64_split_routing_contract():
+    # Pure routing (no c64 execution — safe on every backend): accuracy
+    # regime -> naive 4-product, speed regime -> Gauss.
+    from simplemath_tpu.ops import complexmm
+
+    assert complexmm._split_fn(False) is complexmm._naive
+    assert complexmm._split_fn(True) is complexmm._gauss
+
+
+@requires_c64_exec
 def test_complex64_dominated_component_accuracy(rng):
     # Round-4 advisor: Gauss's im = k1 + k2 cancels two O(|ar@br|) terms,
     # so a dominated imaginary part (|bi| << |br|) would carry ~eps*|re|
     # absolute error.  The accuracy (below-gate/HIGHEST) regime therefore
     # routes to the naive four-product form, which keeps the small
-    # component's RELATIVE error bounded.
+    # component's RELATIVE error bounded.  (c64-gated: a single c64 op
+    # WEDGES this environment's tunneled TPU client — running it on the
+    # TPU backend poisons every later test in the process.)
     import jax
 
     from simplemath_tpu.ops import complexmm
@@ -149,9 +161,6 @@ def test_complex64_dominated_component_accuracy(rng):
     )
     gauss_rel = np.abs(gauss.imag - want.imag).max() / np.abs(want.imag).max()
     assert gauss_rel > im_rel, (gauss_rel, im_rel)
-    # and the routing contract: accuracy regime -> naive, speed -> Gauss
-    assert complexmm._split_fn(False) is complexmm._naive
-    assert complexmm._split_fn(True) is complexmm._gauss
 
 
 def test_assert_tree_finite():

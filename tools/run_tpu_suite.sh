@@ -12,8 +12,9 @@ for f in tests/test_*.py; do
     start=$(date +%s)
     # 40-min ceiling per file: a blackout-stalled chunk gets killed and
     # recorded as TIMEOUT rather than wedging the whole run.
-    res=$(SM_TEST_BACKEND=tpu timeout 2400 python -m pytest "$f" -q --no-header 2>&1 | tail -3)
-    rc=$?
+    out=$(SM_TEST_BACKEND=tpu timeout 2400 python -m pytest "$f" -q --no-header 2>&1)
+    rc=$?   # pytest's exit code, not tail's (a piped capture masked failures)
+    res=$(echo "$out" | tail -3)
     dur=$(( $(date +%s) - start ))
     tally=$(echo "$res" | grep -Eo '[0-9]+ (passed|failed|skipped|error)[a-z]*' | tr '\n' ' ')
     if [ $rc -eq 124 ]; then tally="TIMEOUT"; fi

@@ -197,6 +197,21 @@ class TestViewKernelOracle:
         want = np.asarray(p).T
         np.testing.assert_array_equal(got, want)
 
+    def test_rank_promoting_view_broadcast(self):
+        # A 2-D transpose view broadcasting into a 3-D output: the plan's
+        # index map ignores the leading grid dim the base doesn't have.
+        A = _mk((40, 30))
+        B = _mk((5, 30, 40), seed=1)
+        _assert_view_kernel(
+            lambda: sm.add(sm.array(A).T, sm.array(B)), A.T + B
+        )
+
+    def test_view_with_lower_rank_dense(self):
+        C = _mk((8, 16, 24))
+        r = _mk((16, 24), seed=1)
+        got = np.asarray(sm.multiply(sm.array(C)[::2], sm.array(r)))
+        np.testing.assert_allclose(got, C[::2] * r, rtol=1e-6)
+
     def test_ragged_transpose(self):
         A, B = _mk((2000, 1100)), _mk((1100, 2000), seed=1)
         _assert_view_kernel(

@@ -44,12 +44,15 @@ from .api import (  # noqa: F401
     dot,
     empty,
     exp,
+    eye,
     expand_dims,
     exp2,
     dequantize,
     full,
+    full_like,
     fuse,
     int8_matmul,
+    linspace,
     log,
     log2,
     matmul,
@@ -61,7 +64,9 @@ from .api import (  # noqa: F401
     multiply,
     negative,
     ones,
+    ones_like,
     pow,
+    prod,
     quantize,
     repeat,
     reshape,
@@ -72,13 +77,16 @@ from .api import (  # noqa: F401
     square,
     squeeze,
     stack,
+    std,
     subtract,
     sum,
     tan,
     tanh,
     transpose,
+    var,
     where,
     zeros,
+    zeros_like,
 )
 from .ops import apply_op, register_op, registered_ops  # noqa: F401
 

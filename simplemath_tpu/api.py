@@ -49,6 +49,28 @@ def arange(*args, dtype=None) -> Array:
     return Array(jnp.arange(*args, dtype=dtype))
 
 
+def eye(n, m=None, dtype=jnp.float32) -> Array:
+    return Array(jnp.eye(n, m, dtype=_dtypes.canonicalize(dtype)))
+
+
+def linspace(start, stop, num=50, dtype=jnp.float32) -> Array:
+    return Array(
+        jnp.linspace(start, stop, num, dtype=_dtypes.canonicalize(dtype))
+    )
+
+
+def zeros_like(a) -> Array:
+    return Array(jnp.zeros_like(asarray(a).jax()))
+
+
+def ones_like(a) -> Array:
+    return Array(jnp.ones_like(asarray(a).jax()))
+
+
+def full_like(a, fill_value) -> Array:
+    return Array(jnp.full_like(asarray(a).jax(), fill_value))
+
+
 def array(data, dtype=None) -> Array:
     return Array(data, dtype=dtype)
 
@@ -178,6 +200,34 @@ max = _reduce_free("max")  # noqa: A001
 min = _reduce_free("min")  # noqa: A001
 argmax = _wrap1(jnp.argmax)
 argmin = _wrap1(jnp.argmin)
+
+
+def prod(a, axis=None, keepdims=False) -> Array:
+    from .ops import fusion
+
+    if fusion.is_fused(a):
+        raise TypeError("sm.prod is not supported inside sm.fuse")
+    return Array(jnp.prod(asarray(a).jax(), axis=axis, keepdims=keepdims))
+
+
+def var(a, axis=None, keepdims=False, ddof=0) -> Array:
+    from .ops import fusion
+
+    if fusion.is_fused(a):
+        raise TypeError("sm.var is not supported inside sm.fuse")
+    return Array(
+        jnp.var(asarray(a).jax(), axis=axis, keepdims=keepdims, ddof=ddof)
+    )
+
+
+def std(a, axis=None, keepdims=False, ddof=0) -> Array:
+    from .ops import fusion
+
+    if fusion.is_fused(a):
+        raise TypeError("sm.std is not supported inside sm.fuse")
+    return Array(
+        jnp.std(asarray(a).jax(), axis=axis, keepdims=keepdims, ddof=ddof)
+    )
 # Unary ops with a registry entry go through the SAME engine as the Array
 # operators (Pallas kernel above the gate, XLA below) — one path per op,
 # and they compose with sm.fuse.

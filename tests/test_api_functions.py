@@ -78,3 +78,39 @@ def test_views_through_free_functions(rng):
     a = sm.Array(x)
     v = a.T[1:3]
     np.testing.assert_allclose(sm.sum(v, axis=1).numpy(), x.T[1:3].sum(axis=1), rtol=1e-5)
+
+
+def test_factory_extensions():
+    """eye/linspace/*_like — NumPy-surface completeness beyond the
+    reference's empty/ones/zeros (UserFunctions.h:8-40)."""
+    A = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_allclose(np.asarray(sm.eye(3)), np.eye(3))
+    np.testing.assert_allclose(np.asarray(sm.eye(2, 5)), np.eye(2, 5))
+    np.testing.assert_allclose(
+        np.asarray(sm.linspace(0.0, 1.0, 5)), np.linspace(0, 1, 5)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.zeros_like(sm.array(A))), np.zeros_like(A)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.ones_like(sm.array(A))), np.ones_like(A)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.full_like(sm.array(A), 7)), np.full_like(A, 7)
+    )
+
+
+def test_statistical_reductions():
+    A = np.arange(12, dtype=np.float32).reshape(3, 4) + 1
+    np.testing.assert_allclose(
+        float(np.asarray(sm.prod(sm.array(A[:2, :2])))), np.prod(A[:2, :2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.var(sm.array(A), axis=0)), A.var(axis=0), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.std(sm.array(A), axis=1)), A.std(axis=1), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.var(sm.array(A), ddof=1)), A.var(ddof=1), rtol=1e-5
+    )

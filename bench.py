@@ -1397,6 +1397,14 @@ def bench_quadrotor_replan(horizon=50, loop_steps=200):
     return {"replan_s": t, "replan_hz": 1.0 / t, "meets_1khz": t < 1e-3}
 
 
+def _quick_skip():
+    """--quick shapes for the HBM-streaming rows sit below the 10 ms
+    signal floor (and inside VMEM), so the loop-differencing search can
+    only fail after minutes of l_long-doubling recompiles; the smoke run
+    records an explicit skip instead.  Full runs measure them all."""
+    return {"skipped": "quick shapes are below the 10 ms signal floor"}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -1424,29 +1432,23 @@ def main():
             ("tiny_chain_5op", lambda: bench_tiny_chain()),
             (
                 "pallas_elementwise",
-                lambda: bench_elementwise_pallas(
-                    1 << 20 if args.quick else 64 * 1024 * 1024
-                ),
+                lambda: _quick_skip() if args.quick
+                else bench_elementwise_pallas(64 * 1024 * 1024),
             ),
             (
                 "view_add",
-                lambda: bench_view_add(512 if args.quick else 8192),
+                lambda: _quick_skip() if args.quick else bench_view_add(8192),
             ),
             ("pow_1000", lambda: bench_pow(100 if args.quick else 1000)),
             (
                 "fused_pipeline",
-                lambda: bench_fused_pipeline(
-                    256 if args.quick else 2048,
-                    ab_rounds=1 if args.quick else 4,
-                ),
+                lambda: _quick_skip() if args.quick
+                else bench_fused_pipeline(2048, ab_rounds=4),
             ),
             (
                 "fused_pipeline_8k",
-                lambda: bench_fused_pipeline(
-                    512 if args.quick else 8192,
-                    l_short=8,
-                    l_long=72,
-                ),
+                lambda: _quick_skip() if args.quick
+                else bench_fused_pipeline(8192, l_short=8, l_long=72),
             ),
             (
                 "dot1d",
@@ -1460,7 +1462,7 @@ def main():
             ),
             (
                 "reduce_axis",
-                lambda: bench_reduce_axis(512 if args.quick else 8192),
+                lambda: _quick_skip() if args.quick else bench_reduce_axis(8192),
             ),
             (
                 "fused_map_reduce",

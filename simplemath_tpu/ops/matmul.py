@@ -476,7 +476,13 @@ def int8_matmul(a, b, out_dtype=jnp.int32, scale=None):
         and b.shape[-1] >= 256
         and a.shape[-1] >= 256
     )
-    if backend != "xla" and shapes_ok:
+    # The Pallas kernel serves SIGNED int8 only: Mosaic's MXU i8 path
+    # sign-extends operands, so a uint8 tile would be read as s8 (measured
+    # wrong on-chip); uint8 takes the exact XLA widening fallback below.
+    signed = all(
+        jnp.dtype(x.dtype) == jnp.dtype(jnp.int8) for x in (a, b)
+    )
+    if backend != "xla" and shapes_ok and signed:
         import jax as _jax
 
         if backend == "pallas" or _jax.default_backend() == "tpu":

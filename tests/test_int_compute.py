@@ -94,6 +94,17 @@ class TestInt8Matmul:
         got = np.asarray(sm.int8_matmul(A, B))
         np.testing.assert_array_equal(got, A.astype(np.int32) @ B.astype(np.int32))
 
+    def test_uint8_exact_via_fallback(self):
+        # Mosaic's MXU i8 path sign-extends, so uint8 tiles would be read
+        # as s8 (measured wrong on-chip); uint8 routes to the exact XLA
+        # widening fallback instead.
+        rng = np.random.default_rng(4)
+        A = rng.integers(0, 256, (300, 384)).astype(np.uint8)
+        B = rng.integers(0, 256, (384, 300)).astype(np.uint8)
+        got = np.asarray(sm.int8_matmul(A, B))
+        want = (A.astype(np.int64) @ B.astype(np.int64)).astype(np.int32)
+        np.testing.assert_array_equal(got, want)
+
     def test_rejects_non_int8(self):
         with pytest.raises(TypeError, match="int8"):
             sm.int8_matmul(

@@ -302,8 +302,8 @@ _DEFAULT_BLOCKS = {
     # dot): (512, 2048, 2048) runs 345-353 TOPS vs XLA's 330-336 — the
     # widest N block wins because int8 tiles are half the bytes of bf16
     # and the i32 accumulator (512x2048x4 = 4 MB) still fits comfortably.
+    # (uint8 is rejected — the MXU i8 path sign-extends.)
     jnp.dtype(jnp.int8): (512, 2048, 2048),
-    jnp.dtype(jnp.uint8): (512, 2048, 2048),
 }
 # f32 operands truncated in-kernel behave like bf16 for MXU tiling.
 _TRUNC_BLOCKS = (1024, 2048, 1024)
@@ -344,6 +344,15 @@ def pallas_matmul(
     leaves VMEM.  The epilogue sees the f32 accumulator (more accurate
     than applying it to a down-cast product)."""
     batched = a.ndim == 3
+    for x in (a, b):
+        if jnp.dtype(x.dtype) == jnp.dtype(jnp.uint8):
+            # Mosaic's MXU i8 path sign-extends: a uint8 tile is read as
+            # s8 and every output element is wrong (measured on-chip).
+            raise TypeError(
+                "pallas_matmul does not support uint8 operands (the MXU "
+                "i8 path sign-extends); use int8, or int8_matmul's exact "
+                "XLA fallback for uint8"
+            )
     if batched:
         B, M, K = a.shape
         B2, K2, N = b.shape

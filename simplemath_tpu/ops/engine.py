@@ -11,6 +11,7 @@ analog of the reference's compile-time ISA dispatch).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -346,49 +347,82 @@ def pow(a: Any, b: Any) -> Array:
 
     if fusion.is_fused(a) or fusion.is_fused(b):
         return fusion.pow_node(a, b)
-    out = lazy.defer_pow(a, b)
-    if out is not None:
-        return out
+    if not _view_bypass(a, b):
+        out = lazy.defer_pow(a, b)
+        if out is not None:
+            return out
     return pow_eager(a, b)
+
+
+@functools.lru_cache(maxsize=64)
+def _static_pow_tile(e: int):
+    """STABLE per-exponent tile for the repeated-squaring path (the
+    kernel-build cache keys on tile identity)."""
+
+    def tile(x):
+        return _static_int_pow(x, e)
+
+    return tile
 
 
 def pow_eager(a: Any, b: Any) -> Array:
     """Non-deferring compute path (also the lazy single-op flush)."""
-    av, bv = as_jax(a), as_jax(b)
-    br = broadcast_shapes(jnp.shape(av), jnp.shape(bv))
-    a_dt = jnp.result_type(av)
-    b_dt = jnp.result_type(bv)
+    a_shape, a_rt = _operand_info(a)
+    b_shape, b_rt = _operand_info(b)
+    br = broadcast_shapes(a_shape, b_shape)
+    a_dt = jnp.result_type(a_rt)
+    b_dt = jnp.result_type(b_rt)
     if jnp.issubdtype(a_dt, jnp.integer) and jnp.issubdtype(b_dt, jnp.integer):
         from . import transcendental
 
         # Public int-pow path IS the crafted square-and-multiply kernel
         # (reference crafted_pow.h:4-154 is on its public operator too);
-        # small shapes / non-native dtypes take the jnp equivalent.
-        out_dtype = jnp.result_type(av, bv)
+        # small shapes / non-native dtypes take the jnp equivalent.  View
+        # operands ride BlockSpec plans like the registry ops.
+        out_dtype = jnp.result_type(a_rt, b_rt)
         if pallas_wanted(br.result_shape) and elementwise.supported(
-            br.result_shape, (jnp.asarray(av).dtype, jnp.asarray(bv).dtype), out_dtype
+            br.result_shape, (a_dt, b_dt), out_dtype
         ):
+            bufs, plans = _prepare_operands(
+                (a, b), br.result_shape, (a_dt, b_dt), out_dtype
+            )
             return Array(
                 elementwise.pallas_elementwise(
                     transcendental.ipow_tile,
                     br.result_shape,
                     out_dtype,
-                    jnp.asarray(av),
-                    jnp.asarray(bv),
+                    *bufs,
                     name="ipow",
+                    plans=plans,
                 )
             )
-        return Array(_int_pow(av, bv))
+        return Array(_int_pow(as_jax(a), as_jax(b)))
     if (
         isinstance(b, (int, float))
         and float(b) == int(b)
         and abs(int(b)) <= 64
         and jnp.issubdtype(a_dt, jnp.floating)
     ):
-        return Array(_static_int_pow(jnp.asarray(av), int(b)))
+        e = int(b)
+        if (
+            isinstance(a, Array)
+            and a.is_view
+            and a_dt != jnp.dtype(jnp.float64)
+            and pallas_wanted(a_shape)
+            and elementwise.supported(a_shape, (a_dt,), a_dt)
+        ):
+            bufs, plans = _prepare_operands((a,), a_shape, (a_dt,), a_dt)
+            if plans is not None:
+                return Array(
+                    elementwise.pallas_elementwise(
+                        _static_pow_tile(e), a_shape, a_dt, *bufs,
+                        name="powi", plans=plans,
+                    )
+                )
+        return Array(_static_int_pow(jnp.asarray(as_jax(a)), e))
     from . import transcendental
 
-    return Array(transcendental.pow(av, bv))
+    return Array(transcendental.pow(as_jax(a), as_jax(b)))
 
 
 # ----------------------------------------------------------------- dot

@@ -166,6 +166,24 @@ class TestViewKernelOracle:
         np.testing.assert_allclose(got, A.T ** 2, rtol=1e-6)
         assert any(k.startswith("elementwise_view") for k in dispatch.counts())
 
+    def test_pow_on_view(self):
+        A = _mk((200, 300))
+        dispatch.reset()
+        got = np.asarray(sm.pow(sm.array(A).T, 3))
+        np.testing.assert_allclose(got, A.T ** 3, rtol=1e-5, atol=1e-5)
+        assert any(k.startswith("elementwise_view") for k in dispatch.counts())
+
+    def test_int_pow_on_view(self):
+        rng = np.random.default_rng(7)
+        Ai = rng.integers(-5, 6, (200, 300)).astype(np.int32)
+        e = np.full((300, 200), 2, np.int32)
+        dispatch.reset()
+        got = np.asarray(sm.pow(sm.array(Ai).T, sm.array(e)))
+        np.testing.assert_array_equal(
+            got, (Ai.T.astype(np.int64) ** 2).astype(np.int32)
+        )
+        assert dispatch.count("elementwise_view", "ipow") == 1
+
     def test_transcendental_on_view(self):
         A = np.abs(_mk((300, 200))) + 0.5
         dispatch.reset()

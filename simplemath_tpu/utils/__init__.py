@@ -4,6 +4,7 @@ the SURVEY §5 gaps the reference leaves open."""
 from .profiling import BenchResult, annotate, benchmark, trace  # noqa: F401
 from .metrics import MetricsLogger  # noqa: F401
 from . import checkpoint  # noqa: F401
+from . import export  # noqa: F401
 from .elastic import (  # noqa: F401
     ElasticConfig,
     RestartBudgetExceeded,

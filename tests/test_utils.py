@@ -108,15 +108,27 @@ class TestAOTExport:
         from simplemath_tpu.ops import elementwise
         from simplemath_tpu.utils import export as smx
 
+        one = np.float32(1.0)  # a python 1.0 is weak-f64 under x64 and
+        # Mosaic cannot lower the 64-bit convert it drags into the kernel
+
         def k(x, y):
             return elementwise.pallas_elementwise(
-                lambda a, b: a * b + 1.0, x.shape, jnp.float32, x, y,
+                lambda a, b: a * b + one, x.shape, jnp.float32, x, y,
                 name="exp_mul",
             )
 
-        blob = smx.export_step(k, jnp.ones((256, 256)), jnp.ones((256, 256)))
+        blob = smx.export_step(
+            k,
+            jnp.ones((256, 256), jnp.float32),
+            jnp.ones((256, 256), jnp.float32),
+        )
         run = smx.load_step(blob)
-        out = np.asarray(run(jnp.full((256, 256), 2.0), jnp.full((256, 256), 3.0)))
+        out = np.asarray(
+            run(
+                jnp.full((256, 256), 2.0, jnp.float32),
+                jnp.full((256, 256), 3.0, jnp.float32),
+            )
+        )
         np.testing.assert_allclose(out, 7.0)
 
     def test_shape_mismatch_raises(self):

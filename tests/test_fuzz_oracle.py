@@ -154,3 +154,52 @@ def test_fuzz_int_floordiv_mod(trial):
         (sm.Array(x) // sm.Array(y)).numpy(), x // y
     )
     np.testing.assert_array_equal((sm.Array(x) % sm.Array(y)).numpy(), x % y)
+
+
+class TestCompositeFuzz:
+    """Round-5 composite fuzzer: random view chains feeding random op
+    chains ending in random (axis) reductions, vs the NumPy oracle —
+    crosses the view-plan, engine, lazy-queue, and axis-kernel layers in
+    one property."""
+
+    @pytest.mark.parametrize("seed", range(30))
+    def test_views_ops_reductions(self, seed):
+        rng = np.random.default_rng(1000 + seed)
+        r, c = int(rng.integers(3, 60)), int(rng.integers(3, 60))
+        A = rng.standard_normal((r, c)).astype(np.float32)
+        a = sm.array(A)
+        ref = A
+        # random view step
+        v = rng.integers(0, 3)
+        if v == 0:
+            a, ref = a.T, ref.T
+        elif v == 1 and r > 2:
+            a, ref = a[1:-1], ref[1:-1]
+        # random op chain (2-4 ops)
+        for _ in range(int(rng.integers(2, 5))):
+            op = rng.integers(0, 5)
+            if op == 0:
+                B = rng.standard_normal(ref.shape).astype(np.float32)
+                a, ref = a + sm.array(B), ref + B
+            elif op == 1:
+                s = float(rng.standard_normal())
+                a, ref = a * s, ref * s
+            elif op == 2:
+                a, ref = sm.square(a), ref ** 2
+            elif op == 3:
+                a, ref = sm.abs(a), np.abs(ref)
+            else:
+                a, ref = sm.maximum(a, 0.1), np.maximum(ref, 0.1)
+        # random reduction root
+        red = rng.integers(0, 4)
+        if red == 0:
+            got, want = a.sum(axis=0), ref.sum(axis=0)
+        elif red == 1:
+            got, want = a.mean(axis=1), ref.mean(axis=1)
+        elif red == 2:
+            got, want = a.max(), ref.max()
+        else:
+            got, want = a, ref
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=1e-4, atol=1e-4
+        )

@@ -33,20 +33,31 @@ from .api import (  # noqa: F401
     add,
     allclose,
     arange,
+    arccos,
+    arcsin,
+    arctan,
+    arctan2,
     argmax,
     argmin,
     array,
+    ceil,
     clip,
     concatenate,
     cos,
+    cosh,
     cumsum,
     divide,
     dot,
     empty,
     exp,
+    expm1,
     eye,
     expand_dims,
     exp2,
+    floor,
+    isfinite,
+    isinf,
+    isnan,
     dequantize,
     full,
     full_like,
@@ -54,6 +65,8 @@ from .api import (  # noqa: F401
     int8_matmul,
     linspace,
     log,
+    log10,
+    log1p,
     log2,
     matmul,
     max,
@@ -70,8 +83,10 @@ from .api import (  # noqa: F401
     quantize,
     repeat,
     reshape,
+    round,
     sign,
     sin,
+    sinh,
     sort,
     sqrt,
     square,

@@ -280,6 +280,28 @@ def clip(a, a_min=None, a_max=None) -> Array:
     return engine.ternary("clip", a, a_min, a_max)
 cumsum = _wrap1(jnp.cumsum)
 sort = _wrap1(jnp.sort)
+floor = _wrap1(jnp.floor)
+ceil = _wrap1(jnp.ceil)
+round = _wrap1(jnp.round)  # noqa: A001 - numpy-style namespace
+log10 = _wrap1(jnp.log10)
+log1p = _wrap1(jnp.log1p)
+expm1 = _wrap1(jnp.expm1)
+sinh = _wrap1(jnp.sinh)
+cosh = _wrap1(jnp.cosh)
+arcsin = _wrap1(jnp.arcsin)
+arccos = _wrap1(jnp.arccos)
+arctan = _wrap1(jnp.arctan)
+isnan = _wrap1(jnp.isnan)
+isinf = _wrap1(jnp.isinf)
+isfinite = _wrap1(jnp.isfinite)
+
+
+def arctan2(a, b) -> Array:
+    from .ops import fusion
+
+    if fusion.is_fused(a) or fusion.is_fused(b):
+        raise TypeError("sm.arctan2 is not supported inside sm.fuse")
+    return Array(jnp.arctan2(asarray(a).jax(), asarray(b).jax()))
 expand_dims = _wrap1(jnp.expand_dims)
 squeeze = _wrap1(jnp.squeeze)
 def maximum(a, b) -> Array:

@@ -114,3 +114,24 @@ def test_statistical_reductions():
     np.testing.assert_allclose(
         np.asarray(sm.var(sm.array(A), ddof=1)), A.var(ddof=1), rtol=1e-5
     )
+
+
+def test_unary_surface_extensions():
+    A = np.asarray([[0.3, -1.7], [2.5, -0.5]], np.float32)
+    a = sm.array(A)
+    for name in ("floor", "ceil", "round", "log1p", "expm1", "sinh", "cosh",
+                 "arctan", "isnan", "isinf", "isfinite"):
+        got = np.asarray(getattr(sm, name)(sm.abs(a) if name.startswith("log") else a))
+        want = getattr(np, name)(np.abs(A) if name.startswith("log") else A)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sm.log10(sm.abs(a))), np.log10(np.abs(A)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.arcsin(sm.clip(a, -1.0, 1.0))),
+        np.arcsin(np.clip(A, -1, 1)), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sm.arctan2(a, sm.ones_like(a))), np.arctan2(A, 1.0),
+        rtol=1e-5,
+    )

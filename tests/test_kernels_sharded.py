@@ -169,3 +169,70 @@ def test_dot1d_kernel_inside_shard_map(rng):
     np.testing.assert_allclose(
         got, np.dot(a.astype(np.float64), b.astype(np.float64)), rtol=1e-4
     )
+
+
+def test_matmul_epilogue_inside_shard_map(rng):
+    # The round-5 fused epilogue (relu(x @ W + b) as one MXU kernel)
+    # composes with SPMD: per-shard activations against a replicated
+    # weight, a collective over the outputs.
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    X = rng.standard_normal((n_dev * 256, 300)).astype(np.float32)
+    W = rng.standard_normal((300, 320)).astype(np.float32)
+    b = rng.standard_normal((1, 320)).astype(np.float32)
+    layer = sm.fuse(lambda x, w, bias: sm.maximum(x @ w + bias, 0.0))
+
+    def shard_fn(x_s, w_s, b_s):
+        y = layer(x_s, w_s, b_s).jax()
+        return y, jax.lax.psum(jnp.sum(y), "scenario")
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("scenario"), P(), P()),
+        out_specs=(P("scenario"), P()),
+        check_vma=False,
+    )
+    y, total = jax.jit(fn)(X, W, b)
+    want = np.maximum(X @ W + b, 0.0)
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(float(total), want.sum(), rtol=1e-4)
+
+
+def test_axis_reduction_inside_shard_map(rng):
+    # Per-shard row reductions through the axis kernel + cross-shard psum.
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    A = rng.standard_normal((n_dev * 64, 256)).astype(np.float32)
+
+    def shard_fn(a_s):
+        rows = sm.array(a_s).sum(axis=1).jax()
+        return rows, jax.lax.psum(jnp.sum(rows), "scenario")
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("scenario"),),
+        out_specs=(P("scenario"), P()), check_vma=False,
+    )
+    rows, total = jax.jit(fn)(A)
+    np.testing.assert_allclose(np.asarray(rows), A.sum(axis=1), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(total), A.sum(), rtol=1e-4)
+
+
+def test_view_kernel_inside_shard_map(rng):
+    # View plans (transposed operand read in-kernel) under shard_map.
+    mesh = parallel.make_mesh()
+    n_dev = mesh.devices.size
+    A = rng.standard_normal((256, n_dev * 32)).astype(np.float32)
+    B = rng.standard_normal((n_dev * 32, 256)).astype(np.float32)
+
+    def shard_fn(a_s, b_s):
+        # a_s arrives (256, 32) per shard; transpose-view + add in-kernel
+        return sm.add(sm.Array(a_s).T, sm.Array(b_s)).jax()
+
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(None, "scenario"), P("scenario")),
+        out_specs=P("scenario"), check_vma=False,
+    )
+    out = jax.jit(fn)(A, B)
+    np.testing.assert_allclose(np.asarray(out), A.T + B, rtol=1e-5, atol=1e-5)

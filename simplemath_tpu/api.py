@@ -341,13 +341,16 @@ def int8_matmul(a, b, scale=None) -> Array:
     )
 
 
-def quantize(x, scale=None):
-    """Symmetric per-tensor int8 quantization: ``(q, scale)`` with
-    ``q = clip(round(x/scale), -127, 127)`` (default scale max|x|/127)."""
+def quantize(x, scale=None, axis=None):
+    """Symmetric int8 quantization: ``(q, scale)`` with
+    ``q = clip(round(x/scale), -127, 127)`` (default scale max|x|/127).
+    ``axis`` computes PER-CHANNEL scales (keepdims) — e.g. ``axis=0`` on
+    a (K, N) weight gives (1, N) per-output-channel scales that
+    ``int8_matmul``'s fused dequant epilogue consumes directly."""
     from .ops import matmul as _mm
     from .array import as_jax
 
-    q, s = _mm.quantize_int8(as_jax(x), scale)
+    q, s = _mm.quantize_int8(as_jax(x), scale, axis=axis)
     return Array(q), Array(s)
 
 

@@ -497,9 +497,14 @@ def int8_matmul(a, b, out_dtype=jnp.int32, scale=None):
         if backend == "pallas" or _jax.default_backend() == "tpu":
             dispatch.record("matmul", "int8")
             if scale is not None:
-                s = jnp.reshape(
-                    jnp.asarray(scale, jnp.float32), (1,) * a.ndim
-                )
+                # Scalar or per-channel scales, normalized to the output's
+                # rank as (1|B, 1|M, 1|N) so the epilogue reads them as
+                # pinned/broadcast blocks.
+                s = jnp.asarray(scale, jnp.float32)
+                if s.ndim == 0:
+                    s = jnp.reshape(s, (1,) * a.ndim)
+                elif s.ndim < a.ndim:
+                    s = jnp.reshape(s, (1,) * (a.ndim - s.ndim) + s.shape)
                 return pallas_matmul(
                     a, b, out_dtype, epilogue=_dequant_epi, extras=[s]
                 )
@@ -510,13 +515,19 @@ def int8_matmul(a, b, out_dtype=jnp.int32, scale=None):
     return out.astype(out_dtype)
 
 
-def quantize_int8(x, scale=None):
-    """Symmetric per-tensor int8 quantization: ``q = clip(round(x / scale),
-    -127, 127)``; default ``scale = max|x| / 127``.  Returns ``(q, scale)``
-    for use with ``int8_matmul`` + ``dequantize_int8``."""
+def quantize_int8(x, scale=None, axis=None):
+    """Symmetric int8 quantization: ``q = clip(round(x / scale), -127,
+    127)``; default ``scale = max|x| / 127``.  ``axis`` computes
+    PER-CHANNEL scales by reducing over the given axis/axes (keepdims), the
+    production-quantization shape — e.g. ``axis=0`` on a (K, N) weight
+    gives per-output-channel (1, N) scales, which ``int8_matmul``'s fused
+    dequant epilogue consumes directly.  Returns ``(q, scale)``."""
     x = jnp.asarray(x)
     if scale is None:
-        scale = jnp.max(jnp.abs(x)) / 127.0
+        if axis is None:
+            scale = jnp.max(jnp.abs(x)) / 127.0
+        else:
+            scale = jnp.max(jnp.abs(x), axis=axis, keepdims=True) / 127.0
     scale = jnp.asarray(scale, jnp.float32)
     safe = jnp.where(scale > 0, scale, jnp.float32(1.0))
     q = jnp.clip(jnp.round(x / safe), -127, 127).astype(jnp.int8)

@@ -172,3 +172,43 @@ class TestQuantize:
         x = np.array([[1.0, -2.0, 0.5]], np.float32)
         q, s = sm.quantize(x, scale=0.5)
         np.testing.assert_array_equal(np.asarray(q), [[2, -4, 1]])
+
+
+class TestPerChannelQuantization:
+    def test_per_channel_weight_scales(self):
+        rng = np.random.default_rng(0)
+        # weight columns with wildly different magnitudes: per-tensor
+        # quantization destroys the small channels, per-channel keeps them
+        W = rng.standard_normal((384, 300)).astype(np.float32)
+        W[:, ::2] *= 50.0
+        X = rng.standard_normal((300, 384)).astype(np.float32)
+        qx, sx = sm.quantize(X)
+        qw, sw = sm.quantize(W, axis=0)  # (1, 300) per-output-channel
+        assert np.asarray(sw).shape == (1, 300)
+        got = np.asarray(
+            sm.int8_matmul(qx, qw, scale=np.asarray(sx) * np.asarray(sw))
+        )
+        want = X @ W
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 0.02, rel
+        # per-tensor on the same skewed weight is measurably worse on the
+        # small channels
+        qw_t, sw_t = sm.quantize(W)
+        got_t = np.asarray(
+            sm.int8_matmul(qx, qw_t, scale=float(np.asarray(sx) * np.asarray(sw_t)))
+        )
+        small = want[:, 1::2]
+        err_pc = np.abs(got[:, 1::2] - small).max()
+        err_pt = np.abs(got_t[:, 1::2] - small).max()
+        assert err_pc < err_pt, (err_pc, err_pt)
+
+    def test_vector_scale_shapes(self):
+        rng = np.random.default_rng(1)
+        A = rng.integers(-127, 128, (300, 384)).astype(np.int8)
+        B = rng.integers(-127, 128, (384, 300)).astype(np.int8)
+        s = np.linspace(0.5, 1.5, 300).astype(np.float32)  # (N,)
+        got = np.asarray(sm.int8_matmul(A, B, scale=s))
+        want = (
+            A.astype(np.int32) @ B.astype(np.int32)
+        ).astype(np.float32) * s[None, :]
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -4,6 +4,7 @@ iLQR/DDP + SQP-MPC trajectory optimizers (BASELINE.json north star)."""
 from .dynamics import (  # noqa: F401
     SYSTEMS,
     System,
+    make_bicycle,
     make_cartpole,
     make_pendulum,
     make_quadrotor,

@@ -195,8 +195,65 @@ def make_quadrotor(dt: float = 0.02) -> System:
                   separable_cost=True, batch_polymorphic=True)
 
 
+# ----------------------------------------------------------------- bicycle
+def make_bicycle(dt: float = 0.05, wheelbase: float = 2.7,
+                 target=(20.0, 3.0)) -> System:
+    """Kinematic bicycle (car) lane-change / waypoint tracking: the
+    autonomous-driving MPC workhorse.  x = [px, py, yaw, v],
+    u = [accel, steer] — the framework's two-input model family (pendulum
+    and cartpole are single-input, the quadrotor four).  Costs drive to
+    ``target`` at cruise speed with straight heading; steering enters the
+    dynamics through tan(delta)/L, so the problem is genuinely nonlinear
+    in the controls."""
+    import numpy as np
+
+    v_ref = 5.0
+    tgt_np = np.array([target[0], target[1]])
+
+    def f(x, u):
+        yaw, v = x[2], x[3]
+        a, delta = u[0], u[1]
+        return jnp.stack(
+            [
+                v * jnp.cos(yaw),
+                v * jnp.sin(yaw),
+                v * jnp.tan(delta) / wheelbase,
+                a,
+            ]
+        )
+
+    def step(x, u):
+        return rk4(f, x, u, dt)
+
+    def stage_cost(x, u):
+        tgt = _left_bcast(tgt_np, x)
+        ex = x[0] - tgt[0]
+        ey = x[1] - tgt[1]
+        return 0.5 * (
+            0.02 * ex**2
+            + 0.1 * ey**2
+            + 0.5 * x[2] ** 2
+            + 0.05 * (x[3] - v_ref) ** 2
+            + 0.1 * u[0] ** 2
+            + 1.0 * u[1] ** 2
+        )
+
+    def final_cost(x):
+        tgt = _left_bcast(tgt_np, x)
+        ex = x[0] - tgt[0]
+        ey = x[1] - tgt[1]
+        return 0.5 * (
+            10.0 * ex**2 + 50.0 * ey**2 + 20.0 * x[2] ** 2
+            + 5.0 * (x[3] - v_ref) ** 2
+        )
+
+    return System("bicycle", 4, 2, dt, step, stage_cost, final_cost,
+                  separable_cost=True, batch_polymorphic=True)
+
+
 SYSTEMS = {
     "pendulum": make_pendulum,
     "cartpole": make_cartpole,
     "quadrotor": make_quadrotor,
+    "bicycle": make_bicycle,
 }

@@ -295,3 +295,59 @@ def test_solver_is_jittable():
     fn = jax.jit(lambda a, b: solve(system, a, b, ILQRConfig(iterations=3)))
     r = fn(x0, us)
     assert np.isfinite(float(r.cost))
+
+
+class TestBicycle:
+    """Kinematic bicycle (car) lane change — the two-input model family
+    (round 5): steering enters through tan(delta)/L, so the controls are
+    genuinely nonlinear."""
+
+    def test_lane_change_converges(self):
+        from simplemath_tpu.models import ILQRConfig, make_bicycle
+        from simplemath_tpu.models.ilqr import rollout, solve_batched
+
+        system = make_bicycle()
+        B, H = 8, 40
+        x0s = jnp.zeros((B, system.nx), jnp.float32)
+        us0 = jnp.zeros((B, H, system.nu), jnp.float32)
+        res = solve_batched(system, x0s, us0, ILQRConfig(iterations=15))
+        assert np.all(np.isfinite(np.asarray(res.cost)))
+        xs = rollout(system.step, x0s[0], res.us[0])
+        final = np.asarray(xs[-1])
+        # reached the target lane (y = 3) with near-straight heading
+        assert abs(final[1] - 3.0) < 0.3, final
+        assert abs(final[2]) < 0.3, final
+        # improved on the do-nothing trajectory
+        xs0 = rollout(system.step, x0s[0], us0[0])
+        zero_cost = float(
+            sum(
+                system.stage_cost(xs0[t], us0[0, t]) for t in range(H)
+            )
+            + system.final_cost(xs0[-1])
+        )
+        assert float(res.cost[0]) < 0.5 * zero_cost
+
+    def test_batch_polymorphic_soa(self):
+        # The SoA (batch-minor) solver layout requires trailing batch axes.
+        from simplemath_tpu.models import make_bicycle
+
+        system = make_bicycle()
+        assert system.batch_polymorphic and system.separable_cost
+        x = jnp.ones((system.nx, 7), jnp.float32)
+        u = jnp.ones((system.nu, 7), jnp.float32)
+        nxt = system.step(x, u)
+        assert nxt.shape == (system.nx, 7)
+        assert system.stage_cost(x, u).shape == (7,)
+
+    def test_mpc_tracks(self):
+        from simplemath_tpu.models import ILQRConfig, make_bicycle
+        from simplemath_tpu.models.simulate import closed_loop
+
+        system = make_bicycle()
+        H, steps = 30, 30
+        x0 = jnp.zeros((system.nx,), jnp.float32)
+        out = closed_loop(system, x0, H, steps, ILQRConfig(iterations=4))
+        xs = np.asarray(out.xs)
+        assert np.all(np.isfinite(xs))
+        # heading toward the lane target under receding horizon
+        assert abs(xs[-1, 1] - 3.0) < 1.0, xs[-1]

@@ -351,3 +351,24 @@ class TestBicycle:
         assert np.all(np.isfinite(xs))
         # heading toward the lane target under receding horizon
         assert abs(xs[-1, 1] - 3.0) < 1.0, xs[-1]
+
+
+def test_bicycle_steering_limits_respected():
+    """Bicycle + AL box constraints: |steer| <= 0.2 rad forces a longer
+    lane change; the converged controls respect the limit."""
+    from simplemath_tpu.models import make_bicycle
+    from simplemath_tpu.models.sqp_mpc import SQPConfig, solve_constrained
+
+    system = make_bicycle()
+    H = 40
+    x0 = jnp.zeros((system.nx,), jnp.float32)
+    us0 = jnp.zeros((H, system.nu), jnp.float32)
+    u_min = jnp.asarray([-3.0, -0.2], jnp.float32)
+    u_max = jnp.asarray([3.0, 0.2], jnp.float32)
+    res = solve_constrained(
+        system, x0, us0, u_min, u_max, SQPConfig(sqp_iterations=6)
+    )
+    us = np.asarray(res.us)
+    assert np.all(np.isfinite(us))
+    assert float(res.max_violation) < 5e-3, float(res.max_violation)
+    assert us[:, 1].max() <= 0.2 + 5e-3 and us[:, 1].min() >= -0.2 - 5e-3
